@@ -1,0 +1,260 @@
+"""Typed configuration tree for the LoFTR-TPU framework.
+
+Replaces the reference's yacs CfgNode system (/root/reference/src/config/default.py:1-171)
+with frozen dataclasses.  Same three-level precedence semantics: defaults -> main
+(model/trainer) overrides -> data overrides, last wins
+(/root/reference/train.py:63-65, configs/data/base.py:1-4), expressed here as
+successive ``Config.replaced(**nested_dict)`` merges.
+
+All default values mirror /root/reference/src/config/default.py unless noted.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Sequence
+
+
+def _merge_dataclass(obj, overrides: Mapping[str, Any]):
+    """Recursively apply a nested dict of overrides to a (frozen) dataclass."""
+    updates = {}
+    for key, value in overrides.items():
+        if not hasattr(obj, key):
+            raise KeyError(f"{type(obj).__name__} has no config field {key!r}")
+        current = getattr(obj, key)
+        if dataclasses.is_dataclass(current) and isinstance(value, Mapping):
+            updates[key] = _merge_dataclass(current, value)
+        else:
+            updates[key] = value
+    return dataclasses.replace(obj, **updates)
+
+
+@dataclass(frozen=True)
+class BackboneConfig:
+    # reference: src/config/default.py:12-14
+    initial_dim: int = 128
+    block_dims: tuple = (128, 196, 256)
+    # reference: src/config/default.py:7 RESOLUTION=(8,2); (16,4) variant supported
+    resolution: tuple = (8, 2)
+    # 'batch' matches the reference BatchNorm2d (resnet_fpn.py:20-21); 'group'
+    # is the TPU-friendly alternative that needs no cross-device stat sync.
+    norm: str = "batch"
+
+
+@dataclass(frozen=True)
+class AttentionConfig:
+    """One LocalFeatureTransformer stack (coarse or fine).
+
+    reference: src/config/default.py:17-23 (coarse), :39-44 (fine)
+    """
+    d_model: int = 256
+    d_ffn: int = 256
+    nhead: int = 8
+    layer_names: tuple = ("self", "cross") * 4
+    attention: str = "linear"  # ['linear', 'full']
+    temp_bug_fix: bool = True  # position_encoding.py:25-28
+
+
+@dataclass(frozen=True)
+class MatchCoarseConfig:
+    # reference: src/config/default.py:26-36
+    thr: float = 0.2
+    border_rm: int = 2
+    match_type: str = "dual_softmax"  # ['dual_softmax', 'sinkhorn']
+    dsmax_temperature: float = 0.1
+    skh_iters: int = 3
+    skh_init_bin_score: float = 1.0
+    skh_prefilter: bool = False
+    train_coarse_percent: float = 0.2
+    train_pad_num_gt_min: int = 200
+    sparse_spvs: bool = True
+    # --- TPU-native additions (static-shape capacity; replaces data-dependent M,
+    # coarse_matching.py:198-236, and the DDP-deadlock padding hacks) ---
+    max_matches: int = 1024           # inference top-K capacity per pair
+    train_matches: int = 0            # train capacity; 0 => derive from
+    #                                   train_coarse_percent * L at trace time
+
+
+@dataclass(frozen=True)
+class FineConfig:
+    # reference: src/config/default.py:8-9,39-44
+    window_size: int = 5
+    concat_coarse_feat: bool = True
+    d_model: int = 128
+    d_ffn: int = 128
+    nhead: int = 8
+    layer_names: tuple = ("self", "cross")
+    attention: str = "linear"
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    # reference: src/config/default.py:48-63
+    coarse_type: str = "focal"  # ['focal', 'cross_entropy']
+    coarse_weight: float = 1.0
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    pos_weight: float = 1.0
+    neg_weight: float = 1.0
+    fine_type: str = "l2_with_std"  # ['l2_with_std', 'l2']
+    fine_weight: float = 1.0
+    fine_correct_thr: float = 1.0
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    backbone: BackboneConfig = field(default_factory=BackboneConfig)
+    coarse: AttentionConfig = field(default_factory=AttentionConfig)
+    match_coarse: MatchCoarseConfig = field(default_factory=MatchCoarseConfig)
+    fine: FineConfig = field(default_factory=FineConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    # compute dtype for the network body; params stay fp32
+    dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class DatasetConfig:
+    # reference: src/config/default.py:67-99
+    trainval_data_source: str | None = None
+    train_data_root: str | None = None
+    train_npz_root: str | None = None
+    train_list_path: str | None = None
+    train_intrinsic_path: str | None = None
+    val_data_root: str | None = None
+    val_npz_root: str | None = None
+    val_list_path: str | None = None
+    val_intrinsic_path: str | None = None
+    test_data_source: str | None = None
+    test_data_root: str | None = None
+    test_npz_root: str | None = None
+    test_list_path: str | None = None
+    test_intrinsic_path: str | None = None
+    min_overlap_score_train: float = 0.4
+    min_overlap_score_test: float = 0.0
+    augmentation_type: str | None = None
+    mgdpt_img_resize: int = 640
+    mgdpt_img_pad: bool = True
+    mgdpt_depth_pad: bool = True
+    mgdpt_df: int = 8
+
+
+@dataclass(frozen=True)
+class TrainerConfig:
+    # reference: src/config/default.py:102-164 + train.py:70-77 scaling rule
+    canonical_bs: int = 64
+    canonical_lr: float = 6e-3
+    optimizer: str = "adamw"  # ['adam', 'adamw']
+    adam_decay: float = 0.0
+    adamw_decay: float = 0.1
+    warmup_type: str = "linear"  # ['linear', 'constant']
+    warmup_ratio: float = 0.0
+    warmup_step: int = 4800
+    scheduler: str = "MultiStepLR"  # [MultiStepLR, CosineAnnealing, ExponentialLR]
+    scheduler_interval: str = "epoch"  # ['epoch', 'step']
+    mslr_milestones: tuple = (3, 6, 9, 12)
+    mslr_gamma: float = 0.5
+    cosa_tmax: int = 30
+    elr_gamma: float = 0.999992
+    epi_err_thr: float = 5e-4
+    ransac_pixel_thr: float = 0.5
+    ransac_conf: float = 0.99999
+    ransac_max_iters: int = 10000
+    pose_estimation_method: str = "RANSAC"
+    data_sampler: str = "scene_balance"
+    n_samples_per_subset: int = 200
+    sb_subset_sample_replacement: bool = True
+    sb_subset_shuffle: bool = True
+    sb_repeat: int = 1
+    gradient_clipping: float = 0.5
+    seed: int = 66
+    max_epochs: int = 30
+    steps_per_epoch: int = 0  # required for epoch-interval schedules under jit
+
+
+@dataclass(frozen=True)
+class Config:
+    loftr: ModelConfig = field(default_factory=ModelConfig)
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    trainer: TrainerConfig = field(default_factory=TrainerConfig)
+
+    def replaced(self, overrides: Mapping[str, Any] | None = None, **kw) -> "Config":
+        """Return a new Config with nested-dict overrides applied (last wins)."""
+        cfg = self
+        if overrides:
+            cfg = _merge_dataclass(cfg, overrides)
+        if kw:
+            cfg = _merge_dataclass(cfg, kw)
+        return cfg
+
+    def scaled_lr(self, world_size: int, batch_size_per_device: int) -> tuple:
+        """Linear LR scaling rule (reference train.py:70-77).
+
+        Returns (true_lr, warmup_step_scaled)."""
+        true_bs = world_size * batch_size_per_device
+        scaling = true_bs / self.trainer.canonical_bs
+        return self.trainer.canonical_lr * scaling, int(
+            self.trainer.warmup_step / max(scaling, 1e-12))
+
+
+# ---------------------------------------------------------------------------
+# Named presets mirroring configs/loftr/* in the reference.
+# ---------------------------------------------------------------------------
+
+def default_config() -> Config:
+    return Config()
+
+
+def indoor_ds() -> Config:
+    """configs/loftr/indoor/loftr_ds_dense.py: dense spvs, dual-softmax."""
+    return Config().replaced({
+        "loftr": {"match_coarse": {"sparse_spvs": False}},
+    })
+
+
+def indoor_ot() -> Config:
+    """configs/loftr/indoor/loftr_ot_dense.py: dense spvs, sinkhorn."""
+    return Config().replaced({
+        "loftr": {"match_coarse": {"match_type": "sinkhorn",
+                                   "sparse_spvs": False}},
+    })
+
+
+def outdoor_ds() -> Config:
+    """configs/loftr/outdoor/loftr_ds_dense.py: lr 8e-3, train pct 0.3."""
+    return Config().replaced({
+        "loftr": {"match_coarse": {"sparse_spvs": False,
+                                   "train_coarse_percent": 0.3}},
+        "trainer": {"canonical_lr": 8e-3},
+    })
+
+
+def outdoor_ot() -> Config:
+    return outdoor_ds().replaced({
+        "loftr": {"match_coarse": {"match_type": "sinkhorn"}},
+    })
+
+
+def scannet_eval(border_rm: int = 0) -> Config:
+    """configs/loftr/indoor/scannet/loftr_ds_eval.py: BORDER_RM=0 reproduces
+    the paper's ScanNet numbers (auc@10=40.8 vs 39.5 with border_rm=2)."""
+    return indoor_ds().replaced({
+        "loftr": {"match_coarse": {"border_rm": border_rm}},
+    })
+
+
+PRESETS = {
+    "default": default_config,
+    "indoor_ds": indoor_ds,
+    "indoor_ot": indoor_ot,
+    "outdoor_ds": outdoor_ds,
+    "outdoor_ot": outdoor_ot,
+    "scannet_eval": scannet_eval,
+}
+
+
+def get_config(name: str = "default", overrides: Mapping[str, Any] | None = None,
+               ) -> Config:
+    cfg = PRESETS[name]()
+    if overrides:
+        cfg = cfg.replaced(overrides)
+    return cfg

@@ -1,0 +1,152 @@
+"""ResNet-FPN backbone (NHWC, TPU-native layout).
+
+Same topology as /root/reference/src/loftr/backbone/resnet_fpn.py:
+  - stem conv7x7/s2 -> 3 residual stages (dims block_dims, strides 1/2/2)
+  - top-down FPN with 1x1 laterals, x2 align-corners bilinear upsample and
+    3x3 fusion convs, emitting coarse (1/8, block_dims[2]) and fine
+    (1/2, block_dims[0]) maps for the (8,2) variant, or (1/16, 1/4) for the
+    (16,4) variant (resnet_fpn.py:43-118, :121-199).
+
+Deliberate TPU-first deviations: NHWC layout; the align-corners upsample is a
+pair of dense interpolation matmuls (ops/interpolate.py) instead of a gather.
+
+Norm options: 'batch' mirrors reference BatchNorm2d (torch defaults eps=1e-5,
+momentum=0.1 == flax momentum 0.9).  Under jit-with-sharding the batch axis is
+global, so batch statistics are automatically synchronized across devices -
+the GSPMD equivalent of the reference's sync_batchnorm (train.py:108).
+'group' (GroupNorm-8) is a stat-sync-free alternative for very small
+per-device batches.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from loftr_tpu.ops.interpolate import upsample2x_align_corners
+
+
+def conv(features: int, kernel: int, stride: int = 1):
+    pad = (kernel - 1) // 2
+    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                   padding=[(pad, pad), (pad, pad)], use_bias=False,
+                   kernel_init=nn.initializers.variance_scaling(
+                       2.0, "fan_out", "truncated_normal"))
+
+
+class Norm(nn.Module):
+    kind: str = "batch"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.kind == "batch":
+            return nn.BatchNorm(use_running_average=not train,
+                                momentum=0.9, epsilon=1e-5)(x)
+        elif self.kind == "group":
+            return nn.GroupNorm(num_groups=8, epsilon=1e-5)(x)
+        raise ValueError(self.kind)
+
+
+class BasicBlock(nn.Module):
+    """Two 3x3 convs + BN with identity/projection shortcut
+    (resnet_fpn.py:15-40)."""
+    planes: int
+    stride: int = 1
+    norm: str = "batch"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = conv(self.planes, 3, self.stride)(x)
+        y = nn.relu(Norm(self.norm)(y, train))
+        y = conv(self.planes, 3)(y)
+        y = Norm(self.norm)(y, train)
+        if self.stride != 1:
+            x = conv(self.planes, 1, self.stride)(x)
+            x = Norm(self.norm)(x, train)
+        return nn.relu(x + y)
+
+
+class FusionBlock(nn.Module):
+    """3x3 -> BN -> LeakyReLU -> 3x3 fusion after lateral+upsample add
+    (resnet_fpn.py:71-76)."""
+    mid: int
+    out: int
+    norm: str = "batch"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = conv(self.mid, 3)(x)
+        x = nn.leaky_relu(Norm(self.norm)(x, train), negative_slope=0.01)
+        return conv(self.out, 3)(x)
+
+
+class ResNetFPN_8_2(nn.Module):
+    """Outputs (coarse 1/8 @ block_dims[2], fine 1/2 @ block_dims[0])."""
+    initial_dim: int = 128
+    block_dims: Sequence[int] = (128, 196, 256)
+    norm: str = "batch"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.block_dims
+        # stem (resnet_fpn.py:60-62)
+        x0 = nn.relu(Norm(self.norm)(conv(self.initial_dim, 7, 2)(x), train))
+        # stages (resnet_fpn.py:64-66): two BasicBlocks each
+        x1 = BasicBlock(d[0], 1, self.norm)(x0, train)
+        x1 = BasicBlock(d[0], 1, self.norm)(x1, train)       # 1/2
+        x2 = BasicBlock(d[1], 2, self.norm)(x1, train)
+        x2 = BasicBlock(d[1], 1, self.norm)(x2, train)       # 1/4
+        x3 = BasicBlock(d[2], 2, self.norm)(x2, train)
+        x3 = BasicBlock(d[2], 1, self.norm)(x3, train)       # 1/8
+
+        # FPN top-down (resnet_fpn.py:107-116)
+        x3_out = conv(d[2], 1)(x3)
+        x3_up = upsample2x_align_corners(x3_out)
+        x2_out = conv(d[2], 1)(x2)
+        x2_out = FusionBlock(d[2], d[1], self.norm)(x2_out + x3_up, train)
+        x2_up = upsample2x_align_corners(x2_out)
+        x1_out = conv(d[1], 1)(x1)
+        x1_out = FusionBlock(d[1], d[0], self.norm)(x1_out + x2_up, train)
+        return x3_out, x1_out  # coarse [B,H/8,W/8,C3], fine [B,H/2,W/2,C1]
+
+
+class ResNetFPN_16_4(nn.Module):
+    """Outputs (coarse 1/16 @ block_dims[3], fine 1/4 @ block_dims[1])
+    (resnet_fpn.py:121-199)."""
+    initial_dim: int = 128
+    block_dims: Sequence[int] = (128, 196, 256, 512)
+    norm: str = "batch"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.block_dims
+        x0 = nn.relu(Norm(self.norm)(conv(self.initial_dim, 7, 2)(x), train))
+        x1 = BasicBlock(d[0], 1, self.norm)(x0, train)
+        x1 = BasicBlock(d[0], 1, self.norm)(x1, train)       # 1/2
+        x2 = BasicBlock(d[1], 2, self.norm)(x1, train)
+        x2 = BasicBlock(d[1], 1, self.norm)(x2, train)       # 1/4
+        x3 = BasicBlock(d[2], 2, self.norm)(x2, train)
+        x3 = BasicBlock(d[2], 1, self.norm)(x3, train)       # 1/8
+        x4 = BasicBlock(d[3], 2, self.norm)(x3, train)
+        x4 = BasicBlock(d[3], 1, self.norm)(x4, train)       # 1/16
+
+        x4_out = conv(d[3], 1)(x4)
+        x4_up = upsample2x_align_corners(x4_out)
+        x3_out = conv(d[3], 1)(x3)
+        x3_out = FusionBlock(d[3], d[2], self.norm)(x3_out + x4_up, train)
+        x3_up = upsample2x_align_corners(x3_out)
+        x2_out = conv(d[2], 1)(x2)
+        x2_out = FusionBlock(d[2], d[1], self.norm)(x2_out + x3_up, train)
+        return x4_out, x2_out
+
+
+def build_backbone(resolution: tuple, initial_dim: int, block_dims: Sequence[int],
+                   norm: str = "batch"):
+    """Dispatch like backbone/__init__.py:4-11."""
+    if tuple(resolution) == (8, 2):
+        return ResNetFPN_8_2(initial_dim, tuple(block_dims), norm)
+    if tuple(resolution) == (16, 4):
+        return ResNetFPN_16_4(initial_dim, tuple(block_dims), norm)
+    raise ValueError(f"unsupported resolution {resolution}")

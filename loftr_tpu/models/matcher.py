@@ -1,0 +1,164 @@
+"""LoFTR matcher: the full coarse-to-fine pipeline as a pure static-shape
+function.
+
+Pipeline (mirrors /root/reference/src/loftr/loftr.py:29-75):
+  [1] ResNet-FPN backbone (same-shape fast path batches both images,
+      loftr.py:45-49)
+  [2] position encoding + flatten to [B, L, C]
+  [3] coarse LocalFeatureTransformer (self/cross x4)
+  [4] coarse matching (dual-softmax / sinkhorn) -> static top-K selection
+  [5] fine preprocess: gather WxW fine windows at matches (+ coarse context)
+  [6] fine LocalFeatureTransformer (self/cross x1)
+  [7] fine matching: soft-argmax refinement -> final keypoints
+
+Differences by design (TPU-first): NHWC; fixed match capacity K with validity
+masks instead of data-dependent M (see ops/matching.py); windows gathered
+directly instead of unfold-everything (see ops/windows.py).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from loftr_tpu.config import ModelConfig
+from loftr_tpu.models.backbone import build_backbone
+from loftr_tpu.models.position_encoding import add_position_encoding
+from loftr_tpu.models.transformer import LocalFeatureTransformer, dense
+from loftr_tpu.ops import matching as M
+from loftr_tpu.ops.fine_match import fine_kpts, fine_match
+from loftr_tpu.ops.windows import gather_fine_windows
+from loftr_tpu.structs import CoarseMatches, MatchInput, MatchResult
+
+
+class LoFTR(nn.Module):
+    """Detector-free matcher.  Call with a MatchInput; returns MatchResult."""
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(self, inp: MatchInput, train: bool = False,
+                 rng: Optional[jax.Array] = None,
+                 gt_j: Optional[jax.Array] = None,
+                 gt_valid: Optional[jax.Array] = None) -> MatchResult:
+        cfg = self.config
+        res_c, res_f = cfg.backbone.resolution
+        B, H0, W0, _ = inp.image0.shape
+        _, H1, W1, _ = inp.image1.shape
+        hw0_c = (H0 // res_c, W0 // res_c)
+        hw1_c = (H1 // res_c, W1 // res_c)
+        hw0_f = (H0 // res_f, W0 // res_f)
+        L = hw0_c[0] * hw0_c[1]
+        S = hw1_c[0] * hw1_c[1]
+
+        # [1] backbone - same-shape fast path (loftr.py:45-49)
+        backbone = build_backbone(cfg.backbone.resolution,
+                                  cfg.backbone.initial_dim,
+                                  cfg.backbone.block_dims, cfg.backbone.norm)
+        if (H0, W0) == (H1, W1):
+            feat_c, feat_f = backbone(
+                jnp.concatenate([inp.image0, inp.image1], axis=0), train)
+            feat_c0, feat_c1 = jnp.split(feat_c, 2, axis=0)
+            feat_f0, feat_f1 = jnp.split(feat_f, 2, axis=0)
+        else:
+            feat_c0, feat_f0 = backbone(inp.image0, train)
+            feat_c1, feat_f1 = backbone(inp.image1, train)
+
+        # [2] position encoding + flatten (loftr.py:58-59)
+        d_c = cfg.coarse.d_model
+        feat_c0 = add_position_encoding(feat_c0, cfg.coarse.temp_bug_fix)
+        feat_c1 = add_position_encoding(feat_c1, cfg.coarse.temp_bug_fix)
+        feat_c0 = feat_c0.reshape(B, L, d_c)
+        feat_c1 = feat_c1.reshape(B, S, d_c)
+
+        mask_c0 = None if inp.mask0 is None else inp.mask0.reshape(B, L)
+        mask_c1 = None if inp.mask1 is None else inp.mask1.reshape(B, S)
+
+        # [3] coarse transformer (loftr.py:64)
+        feat_c0, feat_c1 = LocalFeatureTransformer(
+            d_c, cfg.coarse.nhead, cfg.coarse.layer_names,
+            cfg.coarse.attention, name="loftr_coarse")(
+                feat_c0, feat_c1, mask_c0, mask_c1)
+
+        # [4] coarse matching (loftr.py:67 -> coarse_matching.py:87-148)
+        mc = cfg.match_coarse
+        conf_with_bin = None
+        if mc.match_type == "dual_softmax":
+            conf = M.dual_softmax_conf(feat_c0, feat_c1, mc.dsmax_temperature,
+                                       mask_c0, mask_c1)
+        elif mc.match_type == "sinkhorn":
+            bin_score = self.param(
+                "bin_score", lambda k: jnp.asarray(mc.skh_init_bin_score))
+            conf, assign = M.sinkhorn_conf(
+                feat_c0, feat_c1, bin_score, mc.skh_iters, mask_c0, mask_c1,
+                prefilter=(not train) and mc.skh_prefilter)
+            if mc.sparse_spvs:
+                conf_with_bin = assign
+        else:
+            raise NotImplementedError(mc.match_type)
+
+        cand = M.mutual_nearest_candidates(
+            conf, mc.thr, mc.border_rm, hw0_c, hw1_c, inp.mask0, inp.mask1)
+        if train:
+            assert rng is not None and gt_j is not None, \
+                "training selection needs rng + coarse supervision"
+            k_train = mc.train_matches or int(
+                mc.train_coarse_percent * max(L, S))
+            matches = M.select_train_matches(
+                cand, gt_j, gt_valid, rng, k_train, mc.train_pad_num_gt_min)
+        else:
+            matches = M.topk_matches(cand, min(mc.max_matches, L))
+
+        mkpts0_c, mkpts1_c = M.matches_to_kpts(
+            matches, hw0_c, hw1_c, res_c, inp.scale0, inp.scale1)
+        mkpts0_c = jax.lax.stop_gradient(mkpts0_c)
+        mkpts1_c = jax.lax.stop_gradient(mkpts1_c)
+
+        # [5] fine preprocess (loftr.py:70 -> fine_preprocess.py:29-59)
+        W = cfg.fine.window_size
+        d_f = cfg.fine.d_model
+        stride = hw0_f[0] // hw0_c[0]
+        win0 = gather_fine_windows(feat_f0, matches.i_ids, hw0_c, W, stride)
+        win1 = gather_fine_windows(feat_f1, matches.j_ids, hw1_c, W, stride)
+        if cfg.fine.concat_coarse_feat:
+            # coarse context concat (fine_preprocess.py:49-57)
+            c0 = jnp.take_along_axis(
+                feat_c0, matches.i_ids[:, :, None], axis=1)  # [B, K, d_c]
+            c1 = jnp.take_along_axis(
+                feat_c1, matches.j_ids[:, :, None], axis=1)
+            down = dense(d_f, use_bias=True)
+            cat = jnp.concatenate([c0, c1], axis=0)  # share weights, one call
+            cwin = down(cat)
+            c0w, c1w = jnp.split(cwin, 2, axis=0)
+            merge = dense(d_f, use_bias=True)
+            ww = W * W
+            win0 = merge(jnp.concatenate(
+                [win0, jnp.broadcast_to(c0w[:, :, None, :], win0.shape[:2] + (ww, d_f))], axis=-1))
+            win1 = merge(jnp.concatenate(
+                [win1, jnp.broadcast_to(c1w[:, :, None, :], win1.shape[:2] + (ww, d_f))], axis=-1))
+
+        # [6] fine transformer over windows as batch (loftr.py:72)
+        K = win0.shape[1]
+        f0 = win0.reshape(B * K, W * W, d_f)
+        f1 = win1.reshape(B * K, W * W, d_f)
+        f0, f1 = LocalFeatureTransformer(
+            d_f, cfg.fine.nhead, cfg.fine.layer_names, cfg.fine.attention,
+            name="loftr_fine")(f0, f1)
+        f0 = f0.reshape(B, K, W * W, d_f)
+        f1 = f1.reshape(B, K, W * W, d_f)
+
+        # [7] fine matching (loftr.py:75 -> fine_matching.py:15-74)
+        expec_f = fine_match(f0, f1)
+        mkpts0_f, mkpts1_f = fine_kpts(
+            jax.lax.stop_gradient(expec_f), mkpts0_c, mkpts1_c, W, res_f,
+            inp.scale1)
+
+        return MatchResult(
+            coarse=matches,
+            mkpts0_c=mkpts0_c, mkpts1_c=mkpts1_c,
+            mkpts0_f=mkpts0_f, mkpts1_f=mkpts1_f,
+            expec_f=expec_f,
+            conf_matrix=conf,
+            conf_matrix_with_bin=conf_with_bin,
+        )

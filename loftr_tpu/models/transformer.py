@@ -1,0 +1,97 @@
+"""LoFTR transformer: interleaved self/cross linear-attention layers.
+
+Topology matches /root/reference/src/loftr/loftr_module/transformer.py:
+  - LoFTREncoderLayer (:7-58): bias-free Q/K/V projections, multi-head
+    linear (or full) attention, bias-free merge, LayerNorm, then a
+    concat-style FFN  mlp([x || message]) with a second LayerNorm and
+    residual  x + message.
+  - LocalFeatureTransformer (:61-101): a named sequence of 'self'/'cross'
+    layers; 'self' updates each image against itself, 'cross' against the
+    other (both directions per layer).
+
+Unlike the reference, both images' sequences are processed as one batched
+call per layer where possible (self-attention stacks feat0/feat1 on the batch
+axis), which keeps the MXU fed with larger matmuls.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from loftr_tpu.ops.attention import full_attention, linear_attention
+
+
+def dense(features: int, use_bias: bool = False):
+    return nn.Dense(features, use_bias=use_bias,
+                    kernel_init=nn.initializers.xavier_uniform())
+
+
+class LoFTREncoderLayer(nn.Module):
+    d_model: int
+    nhead: int
+    attention: str = "linear"  # ['linear', 'full']
+
+    @nn.compact
+    def __call__(self, x, source,
+                 x_mask: Optional[jax.Array] = None,
+                 source_mask: Optional[jax.Array] = None):
+        """x: [B, L, C]; source: [B, S, C]; masks: [B, L] / [B, S]."""
+        b, l, c = x.shape
+        h = self.nhead
+        d = self.d_model // h
+
+        q = dense(self.d_model)(x).reshape(b, l, h, d)
+        k = dense(self.d_model)(source).reshape(b, -1, h, d)
+        v = dense(self.d_model)(source).reshape(b, -1, h, d)
+        attn = linear_attention if self.attention == "linear" else full_attention
+        message = attn(q, k, v, q_mask=x_mask, kv_mask=source_mask)
+        message = dense(self.d_model)(message.reshape(b, l, c))
+        message = nn.LayerNorm(epsilon=1e-5)(message)
+
+        # concat-style FFN (transformer.py:54-57)
+        y = jnp.concatenate([x, message], axis=-1)
+        y = dense(2 * self.d_model)(y)
+        y = nn.relu(y)
+        y = dense(self.d_model)(y)
+        y = nn.LayerNorm(epsilon=1e-5)(y)
+        return x + y
+
+
+class LocalFeatureTransformer(nn.Module):
+    d_model: int
+    nhead: int
+    layer_names: Sequence[str]
+    attention: str = "linear"
+
+    @nn.compact
+    def __call__(self, feat0, feat1,
+                 mask0: Optional[jax.Array] = None,
+                 mask1: Optional[jax.Array] = None):
+        """feat0: [B, L, C]; feat1: [B, S, C]."""
+        same_shape = feat0.shape == feat1.shape
+        masks_same = (mask0 is None) == (mask1 is None)
+        for idx, name in enumerate(self.layer_names):
+            layer = LoFTREncoderLayer(self.d_model, self.nhead,
+                                      self.attention, name=f"layer_{idx}")
+            if name == "self":
+                if same_shape and masks_same:
+                    # batch both images through one call (bigger matmuls)
+                    feat = jnp.concatenate([feat0, feat1], axis=0)
+                    m = None if mask0 is None else jnp.concatenate(
+                        [mask0, mask1], axis=0)
+                    feat = layer(feat, feat, m, m)
+                    feat0, feat1 = jnp.split(feat, 2, axis=0)
+                else:
+                    feat0 = layer(feat0, feat0, mask0, mask0)
+                    feat1 = layer(feat1, feat1, mask1, mask1)
+            elif name == "cross":
+                # NB: sequential, matching transformer.py:96-97 - feat1's
+                # update attends to the *already updated* feat0.
+                feat0 = layer(feat0, feat1, mask0, mask1)
+                feat1 = layer(feat1, feat0, mask1, mask0)
+            else:
+                raise KeyError(name)
+        return feat0, feat1

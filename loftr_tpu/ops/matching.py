@@ -1,0 +1,238 @@
+"""Coarse matching: confidence matrices + static-shape match selection.
+
+TPU-first redesign of /root/reference/src/loftr/utils/coarse_matching.py.
+The reference extracts a data-dependent number M of matches with
+``torch.where`` (coarse_matching.py:191-196); under XLA every shape must be
+static, so selection here is a fixed-capacity top-K with validity masks.
+The top-K ordering is by confidence, which is a strict superset of the
+reference's unordered thresholded set whenever K >= true match count.
+
+Training-time GT padding (coarse_matching.py:198-236) becomes
+:func:`select_train_matches`: per-pair fixed capacity, random subset of
+predictions, remainder filled from GT positives - same stochastic semantics,
+re-expressed shape-statically (and per pair rather than across the batch).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from loftr_tpu.structs import CoarseMatches
+from loftr_tpu.ops.sinkhorn import log_optimal_transport
+
+INF = 1e9  # coarse_matching.py:6
+
+
+def dual_softmax_conf(feat0: jax.Array, feat1: jax.Array,
+                      temperature: float,
+                      mask0: Optional[jax.Array] = None,
+                      mask1: Optional[jax.Array] = None) -> jax.Array:
+    """Dual-softmax confidence (coarse_matching.py:112-119).
+
+    feat0: [B, L, C], feat1: [B, S, C] (already /sqrt(C)-normalized by caller
+    or raw - this function applies the 1/sqrt(C) normalization itself).
+    mask0: [B, L], mask1: [B, S] validity masks.
+    Returns conf [B, L, S] = softmax_rows(sim) * softmax_cols(sim).
+    """
+    c = feat0.shape[-1]
+    scale = 1.0 / c ** 0.5
+    sim = jnp.einsum("blc,bsc->bls", feat0 * scale, feat1 * scale)
+    sim = sim / temperature
+    if mask0 is not None:
+        pair = mask0[:, :, None].astype(bool) & mask1[:, None, :].astype(bool)
+        sim = jnp.where(pair, sim, -INF)
+    conf = jax.nn.softmax(sim, axis=1) * jax.nn.softmax(sim, axis=2)
+    return conf
+
+
+def sinkhorn_conf(feat0: jax.Array, feat1: jax.Array, bin_score: jax.Array,
+                  iters: int,
+                  mask0: Optional[jax.Array] = None,
+                  mask1: Optional[jax.Array] = None,
+                  prefilter: bool = False):
+    """Sinkhorn-OT confidence (coarse_matching.py:121-143).
+
+    Returns (conf [B, L, S], assign_with_bin [B, L+1, S+1]).
+    ``prefilter`` zeroes rows/cols whose argmax is the dustbin
+    (eval-time only in the reference, coarse_matching.py:136-140).
+    """
+    c = feat0.shape[-1]
+    scale = 1.0 / c ** 0.5
+    sim = jnp.einsum("blc,bsc->bls", feat0 * scale, feat1 * scale)
+    if mask0 is not None:
+        pair = mask0[:, :, None].astype(bool) & mask1[:, None, :].astype(bool)
+        sim = jnp.where(pair, sim, -INF)
+    log_assign = log_optimal_transport(sim, bin_score, iters)
+    assign = jnp.exp(log_assign)
+    conf = assign[:, :-1, :-1]
+    if prefilter:
+        L, S = conf.shape[1], conf.shape[2]
+        filt0 = jnp.argmax(assign, axis=2)[:, :-1] == S  # [B, L]
+        filt1 = jnp.argmax(assign, axis=1)[:, :-1] == L  # [B, S]
+        conf = jnp.where(filt0[:, :, None], 0.0, conf)
+        conf = jnp.where(filt1[:, None, :], 0.0, conf)
+    return conf, assign
+
+
+def _border_row_mask(hc: int, wc: int, border: int,
+                     pad_mask: Optional[jax.Array]) -> jax.Array:
+    """[B-or-1, hc*wc] bool: cells allowed as matches after border removal.
+
+    Without padding masks: the static border rule (mask_border,
+    coarse_matching.py:8-25).  With padding: per-pair effective extents
+    h = max column-sum of the mask, as in mask_border_with_padding
+    (coarse_matching.py:28-43).
+    """
+    ys = jnp.arange(hc)[:, None]  # [hc, 1]
+    xs = jnp.arange(wc)[None, :]  # [1, wc]
+    if border <= 0:
+        if pad_mask is None:
+            return jnp.ones((1, hc * wc), bool)
+        return pad_mask.reshape(pad_mask.shape[0], hc * wc).astype(bool)
+    if pad_mask is None:
+        ok = (ys >= border) & (ys < hc - border) & \
+             (xs >= border) & (xs < wc - border)
+        return ok.reshape(1, hc * wc)
+    pm = pad_mask.astype(jnp.int32)  # [B, hc, wc]
+    h_eff = jnp.max(jnp.sum(pm, axis=1), axis=-1)  # [B]
+    w_eff = jnp.max(jnp.sum(pm, axis=2), axis=-1)  # [B]
+    ok = (ys[None] >= border) & (ys[None] < (h_eff - border)[:, None, None]) & \
+         (xs[None] >= border) & (xs[None] < (w_eff - border)[:, None, None])
+    ok = ok & pad_mask.astype(bool)
+    return ok.reshape(ok.shape[0], hc * wc)
+
+
+class CandidateMatches(NamedTuple):
+    """Per-row best matches before capacity selection."""
+    j_ids: jax.Array   # [B, L] best column per row
+    mconf: jax.Array   # [B, L] its confidence
+    valid: jax.Array   # [B, L] passes thr+border+MNN
+
+
+def mutual_nearest_candidates(conf: jax.Array, thr: float, border_rm: int,
+                              hw0_c: tuple, hw1_c: tuple,
+                              mask0: Optional[jax.Array] = None,
+                              mask1: Optional[jax.Array] = None,
+                              ) -> CandidateMatches:
+    """Threshold + border removal + mutual-nearest-neighbor filtering
+    (coarse_matching.py:174-196), without extracting a dynamic list.
+
+    conf: [B, L, S].  mask0/mask1: [B, hc, wc] padding masks or None.
+    """
+    row_ok = _border_row_mask(hw0_c[0], hw0_c[1], border_rm, mask0)  # [*, L]
+    col_ok = _border_row_mask(hw1_c[0], hw1_c[1], border_rm, mask1)  # [*, S]
+
+    row_max = jnp.max(conf, axis=2, keepdims=True)
+    col_max = jnp.max(conf, axis=1, keepdims=True)
+    mask = (conf > thr) & (conf >= row_max) & (conf >= col_max)
+    mask = mask & row_ok[:, :, None] & col_ok[:, None, :]
+
+    # each row has at most one True (MNN); pick it via masked argmax
+    masked_conf = jnp.where(mask, conf, -1.0)
+    j_ids = jnp.argmax(masked_conf, axis=2).astype(jnp.int32)  # [B, L]
+    valid = jnp.any(mask, axis=2)                              # [B, L]
+    mconf = jnp.take_along_axis(conf, j_ids[:, :, None], axis=2)[..., 0]
+    mconf = jnp.where(valid, mconf, 0.0)
+    return CandidateMatches(j_ids=j_ids, mconf=mconf, valid=valid)
+
+
+def topk_matches(cand: CandidateMatches, k: int) -> CoarseMatches:
+    """Select the top-k candidates by confidence (inference path).
+
+    A superset-equivalent of coarse_matching.py:191-196 when k >= #matches;
+    when capacity overflows, the lowest-confidence matches are dropped (the
+    new, explicit failure mode replacing silent DDP hazards - SURVEY.md §5.2).
+    """
+    score = jnp.where(cand.valid, cand.mconf, -1.0)
+    top_conf, i_ids = jax.lax.top_k(score, k)          # [B, K]
+    j_ids = jnp.take_along_axis(cand.j_ids, i_ids, axis=1)
+    mask = top_conf > 0.0
+    mconf = jnp.where(mask, top_conf, 0.0)
+    return CoarseMatches(i_ids=i_ids.astype(jnp.int32),
+                         j_ids=j_ids.astype(jnp.int32),
+                         mconf=mconf, mask=mask,
+                         gt_mask=jnp.zeros_like(mask))
+
+
+def select_train_matches(cand: CandidateMatches,
+                         gt_j: jax.Array, gt_valid: jax.Array,
+                         rng: jax.Array, k_train: int,
+                         pad_num_gt_min: int) -> CoarseMatches:
+    """Training-time selection with GT padding (coarse_matching.py:198-236).
+
+    Keeps at most ``k_train - pad_num_gt_min`` random predicted matches and
+    fills remaining slots with random GT positives (with replacement, conf=0,
+    mirroring mconf_gt=0 at coarse_matching.py:230).  All k_train slots are
+    always populated, so the fine stage sees a full static batch - the
+    shape-static equivalent of "pad with gt to avoid DDP deadlock".
+
+    gt_j/gt_valid: [B, L] per-row GT partners (Supervision.gt_j/gt_valid).
+    If a pair has no GT at all, dummy (0,0) entries are used
+    (supervision.py:92-97 semantics).
+    """
+    B, L = cand.valid.shape
+    k_pred_max = k_train - pad_num_gt_min
+    assert k_pred_max > 0, "pad_num_gt_min must be < k_train"
+    rng_pred, rng_gt_sel, rng_gt_pick = jax.random.split(rng, 3)
+
+    # --- predicted slots: random priority over valid candidates ---
+    pri = jax.random.uniform(rng_pred, (B, L), minval=0.1, maxval=1.0)
+    pri = jnp.where(cand.valid, pri, -1.0)
+    _, pred_order = jax.lax.top_k(pri, k_train)        # [B, k_train]
+    pred_i = pred_order.astype(jnp.int32)
+    pred_j = jnp.take_along_axis(cand.j_ids, pred_order, axis=1)
+    pred_conf = jnp.take_along_axis(cand.mconf, pred_order, axis=1)
+    pred_valid = jnp.take_along_axis(cand.valid, pred_order, axis=1)
+    # cap the number of predicted slots so >= pad_num_gt_min GT slots remain
+    slot = jnp.arange(k_train)[None, :]
+    pred_take = pred_valid & (slot < k_pred_max)
+
+    # --- GT pool: compact valid GT rows to the front in random order ---
+    gpri = jax.random.uniform(rng_gt_sel, (B, L), minval=0.1, maxval=1.0)
+    gpri = jnp.where(gt_valid, gpri, -1.0)
+    _, gt_order = jax.lax.top_k(gpri, L)               # [B, L] valid-first
+    n_gt = jnp.sum(gt_valid, axis=1)                   # [B]
+    # sample k_train GT picks with replacement from the valid prefix
+    u = jax.random.uniform(rng_gt_pick, (B, k_train))
+    pick = jnp.floor(u * jnp.maximum(n_gt, 1)[:, None]).astype(jnp.int32)
+    pick = jnp.clip(pick, 0, L - 1)
+    gt_rows = jnp.take_along_axis(gt_order, pick, axis=1).astype(jnp.int32)
+    gt_cols = jnp.take_along_axis(gt_j, gt_rows, axis=1).astype(jnp.int32)
+    has_gt = (n_gt > 0)[:, None]
+    gt_rows = jnp.where(has_gt, gt_rows, 0)  # dummy (0,0): supervision.py:92-97
+    gt_cols = jnp.where(has_gt, gt_cols, 0)
+
+    i_ids = jnp.where(pred_take, pred_i, gt_rows)
+    j_ids = jnp.where(pred_take, pred_j, gt_cols)
+    mconf = jnp.where(pred_take, pred_conf, 0.0)
+    gt_mask = ~pred_take
+    mask = jnp.ones_like(pred_take)  # every slot populated
+    return CoarseMatches(i_ids=i_ids, j_ids=j_ids, mconf=mconf,
+                         mask=mask, gt_mask=gt_mask)
+
+
+def matches_to_kpts(matches: CoarseMatches, hw0_c: tuple, hw1_c: tuple,
+                    stride: int,
+                    scale0: Optional[jax.Array] = None,
+                    scale1: Optional[jax.Array] = None):
+    """Convert coarse cell indices to original-image-resolution keypoints
+    (coarse_matching.py:241-250).
+
+    stride: image-res / coarse-res (RESOLUTION[0], normally 8).
+    scale0/scale1: [B, 2] optional resize factors (MegaDepth).
+    Returns (mkpts0_c, mkpts1_c): [B, K, 2] in (x, y).
+    """
+    w0, w1 = hw0_c[1], hw1_c[1]
+    x0 = (matches.i_ids % w0).astype(jnp.float32)
+    y0 = (matches.i_ids // w0).astype(jnp.float32)
+    x1 = (matches.j_ids % w1).astype(jnp.float32)
+    y1 = (matches.j_ids // w1).astype(jnp.float32)
+    kpts0 = jnp.stack([x0, y0], axis=-1) * stride
+    kpts1 = jnp.stack([x1, y1], axis=-1) * stride
+    if scale0 is not None:
+        kpts0 = kpts0 * scale0[:, None, :]
+    if scale1 is not None:
+        kpts1 = kpts1 * scale1[:, None, :]
+    return kpts0, kpts1

@@ -1,0 +1,148 @@
+"""Model-level tests: init/apply shapes, jit-ability, train path, both
+matcher types, (16,4) variant, masked (MegaDepth-style) inputs."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from loftr_tpu import LoFTR, MatchInput, get_config
+from loftr_tpu.supervision import coarse_supervision, fine_supervision
+from loftr_tpu.losses import loftr_loss
+
+
+def _small_cfg(**over):
+    cfg = get_config("default").replaced({
+        "loftr": {
+            "backbone": {"initial_dim": 16, "block_dims": (16, 24, 32)},
+            "coarse": {"d_model": 32, "nhead": 4,
+                       "layer_names": ("self", "cross")},
+            "fine": {"d_model": 16, "nhead": 2,
+                     "layer_names": ("self", "cross"), "window_size": 5},
+            "match_coarse": {"max_matches": 16, "train_matches": 12,
+                             "train_pad_num_gt_min": 4},
+            **over,
+        }})
+    return cfg
+
+
+def _inputs(B=1, H=64, W=64, masked=False, seed=0):
+    rng = np.random.RandomState(seed)
+    img0 = rng.rand(B, H, W, 1).astype(np.float32)
+    img1 = rng.rand(B, H, W, 1).astype(np.float32)
+    kw = {}
+    if masked:
+        m = np.zeros((B, H // 8, W // 8), bool)
+        m[:, :6, :7] = True
+        kw = dict(mask0=jnp.asarray(m), mask1=jnp.asarray(m),
+                  scale0=jnp.ones((B, 2), np.float32) * 2,
+                  scale1=jnp.ones((B, 2), np.float32) * 2)
+    return MatchInput(image0=jnp.asarray(img0), image1=jnp.asarray(img1), **kw)
+
+
+def test_forward_shapes_dual_softmax():
+    cfg = _small_cfg()
+    model = LoFTR(cfg.loftr)
+    inp = _inputs()
+    variables = model.init(jax.random.PRNGKey(0), inp)
+    out = model.apply(variables, inp)
+    K = cfg.loftr.match_coarse.max_matches
+    assert out.mkpts0_f.shape == (1, K, 2)
+    assert out.mkpts1_f.shape == (1, K, 2)
+    assert out.expec_f.shape == (1, K, 3)
+    L = (64 // 8) ** 2
+    assert out.conf_matrix.shape == (1, L, L)
+    # conf matrix is a product of two softmaxes: in [0, 1]
+    c = np.asarray(out.conf_matrix)
+    assert c.min() >= 0 and c.max() <= 1.0 + 1e-5
+
+
+def test_forward_jit_and_masked():
+    cfg = _small_cfg()
+    model = LoFTR(cfg.loftr)
+    inp = _inputs(masked=True)
+    variables = model.init(jax.random.PRNGKey(0), inp)
+    fwd = jax.jit(lambda v, i: model.apply(v, i))
+    out = fwd(variables, inp)
+    valid = np.asarray(out.valid)
+    i_ids = np.asarray(out.coarse.i_ids)
+    # no match may come from a padded (masked-out) cell
+    m = np.asarray(inp.mask0).reshape(1, -1)
+    for b, k in zip(*np.nonzero(valid)):
+        assert m[b, i_ids[b, k]]
+
+
+def test_forward_sinkhorn():
+    cfg = _small_cfg(match_coarse={"match_type": "sinkhorn",
+                                   "max_matches": 16,
+                                   "skh_iters": 3})
+    model = LoFTR(cfg.loftr)
+    inp = _inputs()
+    variables = model.init(jax.random.PRNGKey(0), inp)
+    assert "bin_score" in variables["params"]
+    out = model.apply(variables, inp)
+    assert out.conf_matrix.shape[1] == (64 // 8) ** 2
+
+
+def test_backbone_16_4():
+    cfg = _small_cfg(backbone={"initial_dim": 16,
+                               "block_dims": (16, 24, 32, 48),
+                               "resolution": (16, 4)},
+                     coarse={"d_model": 48, "nhead": 4,
+                             "layer_names": ("self", "cross")},
+                     fine={"d_model": 24, "nhead": 2,
+                           "layer_names": ("self", "cross"),
+                           "window_size": 5})
+    model = LoFTR(cfg.loftr)
+    inp = _inputs(H=64, W=64)
+    variables = model.init(jax.random.PRNGKey(0), inp)
+    out = model.apply(variables, inp)
+    L = (64 // 16) ** 2
+    assert out.conf_matrix.shape == (1, L, L)
+
+
+def _train_inputs(B=1, H=64, W=64, seed=3):
+    rng = np.random.RandomState(seed)
+    base = _inputs(B, H, W, seed=seed)
+    depth = rng.rand(B, H, W).astype(np.float32) * 2 + 1.0
+    K = np.array([[[50.0, 0, W / 2], [0, 50.0, H / 2], [0, 0, 1]]] * B,
+                 np.float32)
+    T = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+    return base.replace(depth0=jnp.asarray(depth), depth1=jnp.asarray(depth),
+                        T_0to1=jnp.asarray(T), T_1to0=jnp.asarray(T),
+                        K0=jnp.asarray(K), K1=jnp.asarray(K))
+
+
+def test_train_path_and_loss():
+    cfg = _small_cfg()
+    model = LoFTR(cfg.loftr)
+    inp = _train_inputs()
+    spv = coarse_supervision(inp, cfg.loftr.backbone.resolution[0])
+    # identity pose + same depth: grid warps onto itself -> diagonal GT
+    gt_valid = np.asarray(spv.gt_valid)
+    assert gt_valid.sum() > 10
+    gt_j = np.asarray(spv.gt_j)
+    ii = np.nonzero(gt_valid[0])[0]
+    np.testing.assert_array_equal(gt_j[0, ii], ii)
+
+    variables = model.init(jax.random.PRNGKey(0), inp)
+
+    def loss_fn(params, bstats, rng):
+        out, updates = model.apply(
+            {"params": params, "batch_stats": bstats}, inp, train=True,
+            rng=rng, gt_j=spv.gt_j, gt_valid=spv.gt_valid,
+            mutable=["batch_stats"])
+        egt = fine_supervision(spv, out.coarse, inp,
+                               cfg.loftr.backbone.resolution[1],
+                               cfg.loftr.fine.window_size)
+        loss, scalars = loftr_loss(out, spv, egt, inp, cfg.loftr.loss,
+                                   cfg.loftr.match_coarse)
+        return loss, scalars
+
+    (loss, scalars), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"], variables["batch_stats"], jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    assert float(scalars["loss_c"]) > 0
+    # gradient flows to both coarse transformer and backbone
+    gnorm = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.sum(jnp.abs(x))), grads, 0.0)
+    assert np.isfinite(gnorm) and gnorm > 0
