@@ -7,13 +7,17 @@ Same topology as /root/reference/src/loftr/backbone/resnet_fpn.py:
     (1/2, block_dims[0]) maps for the (8,2) variant, or (1/16, 1/4) for the
     (16,4) variant (resnet_fpn.py:43-118, :121-199).
 
+Parameter names deliberately mirror the reference state-dict layout
+(conv1/bn1/layer{1,2,3}_{0,1}/...,  *_outconv*) so converted PyTorch
+checkpoints map 1:1 (see loftr_tpu/utils/weights.py).
+
 Deliberate TPU-first deviations: NHWC layout; the align-corners upsample is a
 pair of dense interpolation matmuls (ops/interpolate.py) instead of a gather.
 
 Norm options: 'batch' mirrors reference BatchNorm2d (torch defaults eps=1e-5,
-momentum=0.1 == flax momentum 0.9).  Under jit-with-sharding the batch axis is
-global, so batch statistics are automatically synchronized across devices -
-the GSPMD equivalent of the reference's sync_batchnorm (train.py:108).
+momentum=0.1 == flax momentum 0.9).  Under jit-with-sharding the batch axis
+is global, so batch statistics are automatically synchronized across devices
+- the GSPMD equivalent of the reference's sync_batchnorm (train.py:108).
 'group' (GroupNorm-8) is a stat-sync-free alternative for very small
 per-device batches.
 """
@@ -28,29 +32,31 @@ import jax.numpy as jnp
 from loftr_tpu.ops.interpolate import upsample2x_align_corners
 
 
-def conv(features: int, kernel: int, stride: int = 1):
+def conv(features: int, kernel: int, stride: int = 1, name: str | None = None):
     pad = (kernel - 1) // 2
     return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
                    padding=[(pad, pad), (pad, pad)], use_bias=False,
                    kernel_init=nn.initializers.variance_scaling(
-                       2.0, "fan_out", "truncated_normal"))
+                       2.0, "fan_out", "truncated_normal"),
+                   name=name)
 
 
 class Norm(nn.Module):
+    """BatchNorm (torch-default eps/momentum) or GroupNorm-8."""
     kind: str = "batch"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.kind == "batch":
-            return nn.BatchNorm(use_running_average=not train,
-                                momentum=0.9, epsilon=1e-5)(x)
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, name="bn")(x)
         elif self.kind == "group":
-            return nn.GroupNorm(num_groups=8, epsilon=1e-5)(x)
+            return nn.GroupNorm(num_groups=8, epsilon=1e-5, name="gn")(x)
         raise ValueError(self.kind)
 
 
 class BasicBlock(nn.Module):
-    """Two 3x3 convs + BN with identity/projection shortcut
+    """Two 3x3 convs + norm with identity/projection shortcut
     (resnet_fpn.py:15-40)."""
     planes: int
     stride: int = 1
@@ -58,18 +64,18 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = conv(self.planes, 3, self.stride)(x)
-        y = nn.relu(Norm(self.norm)(y, train))
-        y = conv(self.planes, 3)(y)
-        y = Norm(self.norm)(y, train)
+        y = conv(self.planes, 3, self.stride, name="conv1")(x)
+        y = nn.relu(Norm(self.norm, name="bn1")(y, train))
+        y = conv(self.planes, 3, name="conv2")(y)
+        y = Norm(self.norm, name="bn2")(y, train)
         if self.stride != 1:
-            x = conv(self.planes, 1, self.stride)(x)
-            x = Norm(self.norm)(x, train)
+            x = conv(self.planes, 1, self.stride, name="downsample_conv")(x)
+            x = Norm(self.norm, name="downsample_bn")(x, train)
         return nn.relu(x + y)
 
 
 class FusionBlock(nn.Module):
-    """3x3 -> BN -> LeakyReLU -> 3x3 fusion after lateral+upsample add
+    """3x3 -> norm -> LeakyReLU -> 3x3 fusion after lateral+upsample add
     (resnet_fpn.py:71-76)."""
     mid: int
     out: int
@@ -77,9 +83,10 @@ class FusionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = conv(self.mid, 3)(x)
-        x = nn.leaky_relu(Norm(self.norm)(x, train), negative_slope=0.01)
-        return conv(self.out, 3)(x)
+        x = conv(self.mid, 3, name="conv1")(x)
+        x = nn.leaky_relu(Norm(self.norm, name="bn")(x, train),
+                          negative_slope=0.01)
+        return conv(self.out, 3, name="conv2")(x)
 
 
 class ResNetFPN_8_2(nn.Module):
@@ -92,23 +99,26 @@ class ResNetFPN_8_2(nn.Module):
     def __call__(self, x, train: bool = False):
         d = self.block_dims
         # stem (resnet_fpn.py:60-62)
-        x0 = nn.relu(Norm(self.norm)(conv(self.initial_dim, 7, 2)(x), train))
+        x0 = nn.relu(Norm(self.norm, name="bn1")(
+            conv(self.initial_dim, 7, 2, name="conv1")(x), train))
         # stages (resnet_fpn.py:64-66): two BasicBlocks each
-        x1 = BasicBlock(d[0], 1, self.norm)(x0, train)
-        x1 = BasicBlock(d[0], 1, self.norm)(x1, train)       # 1/2
-        x2 = BasicBlock(d[1], 2, self.norm)(x1, train)
-        x2 = BasicBlock(d[1], 1, self.norm)(x2, train)       # 1/4
-        x3 = BasicBlock(d[2], 2, self.norm)(x2, train)
-        x3 = BasicBlock(d[2], 1, self.norm)(x3, train)       # 1/8
+        x1 = BasicBlock(d[0], 1, self.norm, name="layer1_0")(x0, train)
+        x1 = BasicBlock(d[0], 1, self.norm, name="layer1_1")(x1, train)  # 1/2
+        x2 = BasicBlock(d[1], 2, self.norm, name="layer2_0")(x1, train)
+        x2 = BasicBlock(d[1], 1, self.norm, name="layer2_1")(x2, train)  # 1/4
+        x3 = BasicBlock(d[2], 2, self.norm, name="layer3_0")(x2, train)
+        x3 = BasicBlock(d[2], 1, self.norm, name="layer3_1")(x3, train)  # 1/8
 
         # FPN top-down (resnet_fpn.py:107-116)
-        x3_out = conv(d[2], 1)(x3)
+        x3_out = conv(d[2], 1, name="layer3_outconv")(x3)
         x3_up = upsample2x_align_corners(x3_out)
-        x2_out = conv(d[2], 1)(x2)
-        x2_out = FusionBlock(d[2], d[1], self.norm)(x2_out + x3_up, train)
+        x2_out = conv(d[2], 1, name="layer2_outconv")(x2)
+        x2_out = FusionBlock(d[2], d[1], self.norm,
+                             name="layer2_outconv2")(x2_out + x3_up, train)
         x2_up = upsample2x_align_corners(x2_out)
-        x1_out = conv(d[1], 1)(x1)
-        x1_out = FusionBlock(d[1], d[0], self.norm)(x1_out + x2_up, train)
+        x1_out = conv(d[1], 1, name="layer1_outconv")(x1)
+        x1_out = FusionBlock(d[1], d[0], self.norm,
+                             name="layer1_outconv2")(x1_out + x2_up, train)
         return x3_out, x1_out  # coarse [B,H/8,W/8,C3], fine [B,H/2,W/2,C1]
 
 
@@ -122,31 +132,35 @@ class ResNetFPN_16_4(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.block_dims
-        x0 = nn.relu(Norm(self.norm)(conv(self.initial_dim, 7, 2)(x), train))
-        x1 = BasicBlock(d[0], 1, self.norm)(x0, train)
-        x1 = BasicBlock(d[0], 1, self.norm)(x1, train)       # 1/2
-        x2 = BasicBlock(d[1], 2, self.norm)(x1, train)
-        x2 = BasicBlock(d[1], 1, self.norm)(x2, train)       # 1/4
-        x3 = BasicBlock(d[2], 2, self.norm)(x2, train)
-        x3 = BasicBlock(d[2], 1, self.norm)(x3, train)       # 1/8
-        x4 = BasicBlock(d[3], 2, self.norm)(x3, train)
-        x4 = BasicBlock(d[3], 1, self.norm)(x4, train)       # 1/16
+        x0 = nn.relu(Norm(self.norm, name="bn1")(
+            conv(self.initial_dim, 7, 2, name="conv1")(x), train))
+        x1 = BasicBlock(d[0], 1, self.norm, name="layer1_0")(x0, train)
+        x1 = BasicBlock(d[0], 1, self.norm, name="layer1_1")(x1, train)  # 1/2
+        x2 = BasicBlock(d[1], 2, self.norm, name="layer2_0")(x1, train)
+        x2 = BasicBlock(d[1], 1, self.norm, name="layer2_1")(x2, train)  # 1/4
+        x3 = BasicBlock(d[2], 2, self.norm, name="layer3_0")(x2, train)
+        x3 = BasicBlock(d[2], 1, self.norm, name="layer3_1")(x3, train)  # 1/8
+        x4 = BasicBlock(d[3], 2, self.norm, name="layer4_0")(x3, train)
+        x4 = BasicBlock(d[3], 1, self.norm, name="layer4_1")(x4, train)  # 1/16
 
-        x4_out = conv(d[3], 1)(x4)
+        x4_out = conv(d[3], 1, name="layer4_outconv")(x4)
         x4_up = upsample2x_align_corners(x4_out)
-        x3_out = conv(d[3], 1)(x3)
-        x3_out = FusionBlock(d[3], d[2], self.norm)(x3_out + x4_up, train)
+        x3_out = conv(d[3], 1, name="layer3_outconv")(x3)
+        x3_out = FusionBlock(d[3], d[2], self.norm,
+                             name="layer3_outconv2")(x3_out + x4_up, train)
         x3_up = upsample2x_align_corners(x3_out)
-        x2_out = conv(d[2], 1)(x2)
-        x2_out = FusionBlock(d[2], d[1], self.norm)(x2_out + x3_up, train)
+        x2_out = conv(d[2], 1, name="layer2_outconv")(x2)
+        x2_out = FusionBlock(d[2], d[1], self.norm,
+                             name="layer2_outconv2")(x2_out + x3_up, train)
         return x4_out, x2_out
 
 
-def build_backbone(resolution: tuple, initial_dim: int, block_dims: Sequence[int],
-                   norm: str = "batch"):
+def build_backbone(resolution: tuple, initial_dim: int,
+                   block_dims: Sequence[int], norm: str = "batch",
+                   name: str = "backbone"):
     """Dispatch like backbone/__init__.py:4-11."""
     if tuple(resolution) == (8, 2):
-        return ResNetFPN_8_2(initial_dim, tuple(block_dims), norm)
+        return ResNetFPN_8_2(initial_dim, tuple(block_dims), norm, name=name)
     if tuple(resolution) == (16, 4):
-        return ResNetFPN_16_4(initial_dim, tuple(block_dims), norm)
+        return ResNetFPN_16_4(initial_dim, tuple(block_dims), norm, name=name)
     raise ValueError(f"unsupported resolution {resolution}")

@@ -55,7 +55,8 @@ class LoFTR(nn.Module):
         # [1] backbone - same-shape fast path (loftr.py:45-49)
         backbone = build_backbone(cfg.backbone.resolution,
                                   cfg.backbone.initial_dim,
-                                  cfg.backbone.block_dims, cfg.backbone.norm)
+                                  cfg.backbone.block_dims, cfg.backbone.norm,
+                                  name="backbone")
         if (H0, W0) == (H1, W1):
             feat_c, feat_f = backbone(
                 jnp.concatenate([inp.image0, inp.image1], axis=0), train)
@@ -127,11 +128,11 @@ class LoFTR(nn.Module):
                 feat_c0, matches.i_ids[:, :, None], axis=1)  # [B, K, d_c]
             c1 = jnp.take_along_axis(
                 feat_c1, matches.j_ids[:, :, None], axis=1)
-            down = dense(d_f, use_bias=True)
+            down = dense(d_f, use_bias=True, name="down_proj")
             cat = jnp.concatenate([c0, c1], axis=0)  # share weights, one call
             cwin = down(cat)
             c0w, c1w = jnp.split(cwin, 2, axis=0)
-            merge = dense(d_f, use_bias=True)
+            merge = dense(d_f, use_bias=True, name="merge_feat")
             ww = W * W
             win0 = merge(jnp.concatenate(
                 [win0, jnp.broadcast_to(c0w[:, :, None, :], win0.shape[:2] + (ww, d_f))], axis=-1))

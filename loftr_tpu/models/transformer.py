@@ -24,9 +24,9 @@ import jax.numpy as jnp
 from loftr_tpu.ops.attention import full_attention, linear_attention
 
 
-def dense(features: int, use_bias: bool = False):
+def dense(features: int, use_bias: bool = False, name: str | None = None):
     return nn.Dense(features, use_bias=use_bias,
-                    kernel_init=nn.initializers.xavier_uniform())
+                    kernel_init=nn.initializers.xavier_uniform(), name=name)
 
 
 class LoFTREncoderLayer(nn.Module):
@@ -43,20 +43,20 @@ class LoFTREncoderLayer(nn.Module):
         h = self.nhead
         d = self.d_model // h
 
-        q = dense(self.d_model)(x).reshape(b, l, h, d)
-        k = dense(self.d_model)(source).reshape(b, -1, h, d)
-        v = dense(self.d_model)(source).reshape(b, -1, h, d)
+        q = dense(self.d_model, name="q_proj")(x).reshape(b, l, h, d)
+        k = dense(self.d_model, name="k_proj")(source).reshape(b, -1, h, d)
+        v = dense(self.d_model, name="v_proj")(source).reshape(b, -1, h, d)
         attn = linear_attention if self.attention == "linear" else full_attention
         message = attn(q, k, v, q_mask=x_mask, kv_mask=source_mask)
-        message = dense(self.d_model)(message.reshape(b, l, c))
-        message = nn.LayerNorm(epsilon=1e-5)(message)
+        message = dense(self.d_model, name="merge")(message.reshape(b, l, c))
+        message = nn.LayerNorm(epsilon=1e-5, name="norm1")(message)
 
         # concat-style FFN (transformer.py:54-57)
         y = jnp.concatenate([x, message], axis=-1)
-        y = dense(2 * self.d_model)(y)
+        y = dense(2 * self.d_model, name="mlp_0")(y)
         y = nn.relu(y)
-        y = dense(self.d_model)(y)
-        y = nn.LayerNorm(epsilon=1e-5)(y)
+        y = dense(self.d_model, name="mlp_2")(y)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(y)
         return x + y
 
 
