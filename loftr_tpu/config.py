@@ -73,6 +73,8 @@ class MatchCoarseConfig:
     max_matches: int = 1024           # inference top-K capacity per pair
     train_matches: int = 0            # train capacity; 0 => derive from
     #                                   train_coarse_percent * L at trace time
+    use_pallas: bool = False          # fused Pallas matcher (inference only;
+    #                                   skips materializing conf_matrix)
 
 
 @dataclass(frozen=True)

@@ -32,27 +32,35 @@ import jax.numpy as jnp
 from loftr_tpu.ops.interpolate import upsample2x_align_corners
 
 
-def conv(features: int, kernel: int, stride: int = 1, name: str | None = None):
+def conv(features: int, kernel: int, stride: int = 1, name: str | None = None,
+         dtype=None):
     pad = (kernel - 1) // 2
     return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
                    padding=[(pad, pad), (pad, pad)], use_bias=False,
                    kernel_init=nn.initializers.variance_scaling(
                        2.0, "fan_out", "truncated_normal"),
-                   name=name)
+                   dtype=dtype, name=name)
 
 
 class Norm(nn.Module):
-    """BatchNorm (torch-default eps/momentum) or GroupNorm-8."""
+    """BatchNorm (torch-default eps/momentum) or GroupNorm-8.
+
+    Statistics are always computed in float32 regardless of the compute
+    dtype (bf16 means/vars drift); output is cast back."""
     kind: str = "batch"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        orig = x.dtype
+        x = x.astype(jnp.float32)
         if self.kind == "batch":
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-5, name="bn")(x)
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name="bn")(x)
         elif self.kind == "group":
-            return nn.GroupNorm(num_groups=8, epsilon=1e-5, name="gn")(x)
-        raise ValueError(self.kind)
+            y = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="gn")(x)
+        else:
+            raise ValueError(self.kind)
+        return y.astype(orig)
 
 
 class BasicBlock(nn.Module):
@@ -61,15 +69,18 @@ class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
     norm: str = "batch"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = conv(self.planes, 3, self.stride, name="conv1")(x)
+        y = conv(self.planes, 3, self.stride, name="conv1",
+                 dtype=self.dtype)(x)
         y = nn.relu(Norm(self.norm, name="bn1")(y, train))
-        y = conv(self.planes, 3, name="conv2")(y)
+        y = conv(self.planes, 3, name="conv2", dtype=self.dtype)(y)
         y = Norm(self.norm, name="bn2")(y, train)
         if self.stride != 1:
-            x = conv(self.planes, 1, self.stride, name="downsample_conv")(x)
+            x = conv(self.planes, 1, self.stride, name="downsample_conv",
+                     dtype=self.dtype)(x)
             x = Norm(self.norm, name="downsample_bn")(x, train)
         return nn.relu(x + y)
 
@@ -80,13 +91,14 @@ class FusionBlock(nn.Module):
     mid: int
     out: int
     norm: str = "batch"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = conv(self.mid, 3, name="conv1")(x)
+        x = conv(self.mid, 3, name="conv1", dtype=self.dtype)(x)
         x = nn.leaky_relu(Norm(self.norm, name="bn")(x, train),
                           negative_slope=0.01)
-        return conv(self.out, 3, name="conv2")(x)
+        return conv(self.out, 3, name="conv2", dtype=self.dtype)(x)
 
 
 class ResNetFPN_8_2(nn.Module):
@@ -94,30 +106,32 @@ class ResNetFPN_8_2(nn.Module):
     initial_dim: int = 128
     block_dims: Sequence[int] = (128, 196, 256)
     norm: str = "batch"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.block_dims
         # stem (resnet_fpn.py:60-62)
         x0 = nn.relu(Norm(self.norm, name="bn1")(
-            conv(self.initial_dim, 7, 2, name="conv1")(x), train))
+            conv(self.initial_dim, 7, 2, name="conv1", dtype=self.dtype)(
+                x.astype(self.dtype) if self.dtype else x), train))
         # stages (resnet_fpn.py:64-66): two BasicBlocks each
-        x1 = BasicBlock(d[0], 1, self.norm, name="layer1_0")(x0, train)
-        x1 = BasicBlock(d[0], 1, self.norm, name="layer1_1")(x1, train)  # 1/2
-        x2 = BasicBlock(d[1], 2, self.norm, name="layer2_0")(x1, train)
-        x2 = BasicBlock(d[1], 1, self.norm, name="layer2_1")(x2, train)  # 1/4
-        x3 = BasicBlock(d[2], 2, self.norm, name="layer3_0")(x2, train)
-        x3 = BasicBlock(d[2], 1, self.norm, name="layer3_1")(x3, train)  # 1/8
+        x1 = BasicBlock(d[0], 1, self.norm, self.dtype, name="layer1_0")(x0, train)
+        x1 = BasicBlock(d[0], 1, self.norm, self.dtype, name="layer1_1")(x1, train)  # 1/2
+        x2 = BasicBlock(d[1], 2, self.norm, self.dtype, name="layer2_0")(x1, train)
+        x2 = BasicBlock(d[1], 1, self.norm, self.dtype, name="layer2_1")(x2, train)  # 1/4
+        x3 = BasicBlock(d[2], 2, self.norm, self.dtype, name="layer3_0")(x2, train)
+        x3 = BasicBlock(d[2], 1, self.norm, self.dtype, name="layer3_1")(x3, train)  # 1/8
 
         # FPN top-down (resnet_fpn.py:107-116)
-        x3_out = conv(d[2], 1, name="layer3_outconv")(x3)
+        x3_out = conv(d[2], 1, name="layer3_outconv", dtype=self.dtype)(x3)
         x3_up = upsample2x_align_corners(x3_out)
-        x2_out = conv(d[2], 1, name="layer2_outconv")(x2)
-        x2_out = FusionBlock(d[2], d[1], self.norm,
+        x2_out = conv(d[2], 1, name="layer2_outconv", dtype=self.dtype)(x2)
+        x2_out = FusionBlock(d[2], d[1], self.norm, self.dtype,
                              name="layer2_outconv2")(x2_out + x3_up, train)
         x2_up = upsample2x_align_corners(x2_out)
-        x1_out = conv(d[1], 1, name="layer1_outconv")(x1)
-        x1_out = FusionBlock(d[1], d[0], self.norm,
+        x1_out = conv(d[1], 1, name="layer1_outconv", dtype=self.dtype)(x1)
+        x1_out = FusionBlock(d[1], d[0], self.norm, self.dtype,
                              name="layer1_outconv2")(x1_out + x2_up, train)
         return x3_out, x1_out  # coarse [B,H/8,W/8,C3], fine [B,H/2,W/2,C1]
 
@@ -128,39 +142,43 @@ class ResNetFPN_16_4(nn.Module):
     initial_dim: int = 128
     block_dims: Sequence[int] = (128, 196, 256, 512)
     norm: str = "batch"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.block_dims
         x0 = nn.relu(Norm(self.norm, name="bn1")(
-            conv(self.initial_dim, 7, 2, name="conv1")(x), train))
-        x1 = BasicBlock(d[0], 1, self.norm, name="layer1_0")(x0, train)
-        x1 = BasicBlock(d[0], 1, self.norm, name="layer1_1")(x1, train)  # 1/2
-        x2 = BasicBlock(d[1], 2, self.norm, name="layer2_0")(x1, train)
-        x2 = BasicBlock(d[1], 1, self.norm, name="layer2_1")(x2, train)  # 1/4
-        x3 = BasicBlock(d[2], 2, self.norm, name="layer3_0")(x2, train)
-        x3 = BasicBlock(d[2], 1, self.norm, name="layer3_1")(x3, train)  # 1/8
-        x4 = BasicBlock(d[3], 2, self.norm, name="layer4_0")(x3, train)
-        x4 = BasicBlock(d[3], 1, self.norm, name="layer4_1")(x4, train)  # 1/16
+            conv(self.initial_dim, 7, 2, name="conv1", dtype=self.dtype)(
+                x.astype(self.dtype) if self.dtype else x), train))
+        x1 = BasicBlock(d[0], 1, self.norm, self.dtype, name="layer1_0")(x0, train)
+        x1 = BasicBlock(d[0], 1, self.norm, self.dtype, name="layer1_1")(x1, train)  # 1/2
+        x2 = BasicBlock(d[1], 2, self.norm, self.dtype, name="layer2_0")(x1, train)
+        x2 = BasicBlock(d[1], 1, self.norm, self.dtype, name="layer2_1")(x2, train)  # 1/4
+        x3 = BasicBlock(d[2], 2, self.norm, self.dtype, name="layer3_0")(x2, train)
+        x3 = BasicBlock(d[2], 1, self.norm, self.dtype, name="layer3_1")(x3, train)  # 1/8
+        x4 = BasicBlock(d[3], 2, self.norm, self.dtype, name="layer4_0")(x3, train)
+        x4 = BasicBlock(d[3], 1, self.norm, self.dtype, name="layer4_1")(x4, train)  # 1/16
 
-        x4_out = conv(d[3], 1, name="layer4_outconv")(x4)
+        x4_out = conv(d[3], 1, name="layer4_outconv", dtype=self.dtype)(x4)
         x4_up = upsample2x_align_corners(x4_out)
-        x3_out = conv(d[3], 1, name="layer3_outconv")(x3)
-        x3_out = FusionBlock(d[3], d[2], self.norm,
+        x3_out = conv(d[3], 1, name="layer3_outconv", dtype=self.dtype)(x3)
+        x3_out = FusionBlock(d[3], d[2], self.norm, self.dtype,
                              name="layer3_outconv2")(x3_out + x4_up, train)
         x3_up = upsample2x_align_corners(x3_out)
-        x2_out = conv(d[2], 1, name="layer2_outconv")(x2)
-        x2_out = FusionBlock(d[2], d[1], self.norm,
+        x2_out = conv(d[2], 1, name="layer2_outconv", dtype=self.dtype)(x2)
+        x2_out = FusionBlock(d[2], d[1], self.norm, self.dtype,
                              name="layer2_outconv2")(x2_out + x3_up, train)
         return x4_out, x2_out
 
 
 def build_backbone(resolution: tuple, initial_dim: int,
                    block_dims: Sequence[int], norm: str = "batch",
-                   name: str = "backbone"):
+                   name: str = "backbone", dtype=None):
     """Dispatch like backbone/__init__.py:4-11."""
     if tuple(resolution) == (8, 2):
-        return ResNetFPN_8_2(initial_dim, tuple(block_dims), norm, name=name)
+        return ResNetFPN_8_2(initial_dim, tuple(block_dims), norm, dtype,
+                             name=name)
     if tuple(resolution) == (16, 4):
-        return ResNetFPN_16_4(initial_dim, tuple(block_dims), norm, name=name)
+        return ResNetFPN_16_4(initial_dim, tuple(block_dims), norm, dtype,
+                              name=name)
     raise ValueError(f"unsupported resolution {resolution}")

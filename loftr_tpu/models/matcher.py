@@ -43,6 +43,7 @@ class LoFTR(nn.Module):
                  gt_j: Optional[jax.Array] = None,
                  gt_valid: Optional[jax.Array] = None) -> MatchResult:
         cfg = self.config
+        dt = None if cfg.dtype == "float32" else jnp.dtype(cfg.dtype)
         res_c, res_f = cfg.backbone.resolution
         B, H0, W0, _ = inp.image0.shape
         _, H1, W1, _ = inp.image1.shape
@@ -56,7 +57,7 @@ class LoFTR(nn.Module):
         backbone = build_backbone(cfg.backbone.resolution,
                                   cfg.backbone.initial_dim,
                                   cfg.backbone.block_dims, cfg.backbone.norm,
-                                  name="backbone")
+                                  name="backbone", dtype=dt)
         if (H0, W0) == (H1, W1):
             feat_c, feat_f = backbone(
                 jnp.concatenate([inp.image0, inp.image1], axis=0), train)
@@ -79,13 +80,21 @@ class LoFTR(nn.Module):
         # [3] coarse transformer (loftr.py:64)
         feat_c0, feat_c1 = LocalFeatureTransformer(
             d_c, cfg.coarse.nhead, cfg.coarse.layer_names,
-            cfg.coarse.attention, name="loftr_coarse")(
+            cfg.coarse.attention, dt, name="loftr_coarse")(
                 feat_c0, feat_c1, mask_c0, mask_c1)
 
         # [4] coarse matching (loftr.py:67 -> coarse_matching.py:87-148)
         mc = cfg.match_coarse
         conf_with_bin = None
-        if mc.match_type == "dual_softmax":
+        conf = None
+        use_pallas = (mc.use_pallas and not train and
+                      mc.match_type == "dual_softmax")
+        if use_pallas:
+            # fused kernel: no [L, S] conf matrix is ever materialized
+            cand = M.pallas_mutual_nearest_candidates(
+                feat_c0, feat_c1, mc.dsmax_temperature, mc.thr, mc.border_rm,
+                hw0_c, hw1_c, inp.mask0, inp.mask1)
+        elif mc.match_type == "dual_softmax":
             conf = M.dual_softmax_conf(feat_c0, feat_c1, mc.dsmax_temperature,
                                        mask_c0, mask_c1)
         elif mc.match_type == "sinkhorn":
@@ -99,8 +108,10 @@ class LoFTR(nn.Module):
         else:
             raise NotImplementedError(mc.match_type)
 
-        cand = M.mutual_nearest_candidates(
-            conf, mc.thr, mc.border_rm, hw0_c, hw1_c, inp.mask0, inp.mask1)
+        if not use_pallas:
+            cand = M.mutual_nearest_candidates(
+                conf, mc.thr, mc.border_rm, hw0_c, hw1_c,
+                inp.mask0, inp.mask1)
         if train:
             assert rng is not None and gt_j is not None, \
                 "training selection needs rng + coarse supervision"
@@ -128,11 +139,11 @@ class LoFTR(nn.Module):
                 feat_c0, matches.i_ids[:, :, None], axis=1)  # [B, K, d_c]
             c1 = jnp.take_along_axis(
                 feat_c1, matches.j_ids[:, :, None], axis=1)
-            down = dense(d_f, use_bias=True, name="down_proj")
+            down = dense(d_f, use_bias=True, name="down_proj", dtype=dt)
             cat = jnp.concatenate([c0, c1], axis=0)  # share weights, one call
             cwin = down(cat)
             c0w, c1w = jnp.split(cwin, 2, axis=0)
-            merge = dense(d_f, use_bias=True, name="merge_feat")
+            merge = dense(d_f, use_bias=True, name="merge_feat", dtype=dt)
             ww = W * W
             win0 = merge(jnp.concatenate(
                 [win0, jnp.broadcast_to(c0w[:, :, None, :], win0.shape[:2] + (ww, d_f))], axis=-1))
@@ -145,7 +156,7 @@ class LoFTR(nn.Module):
         f1 = win1.reshape(B * K, W * W, d_f)
         f0, f1 = LocalFeatureTransformer(
             d_f, cfg.fine.nhead, cfg.fine.layer_names, cfg.fine.attention,
-            name="loftr_fine")(f0, f1)
+            dt, name="loftr_fine")(f0, f1)
         f0 = f0.reshape(B, K, W * W, d_f)
         f1 = f1.reshape(B, K, W * W, d_f)
 

@@ -24,15 +24,18 @@ import jax.numpy as jnp
 from loftr_tpu.ops.attention import full_attention, linear_attention
 
 
-def dense(features: int, use_bias: bool = False, name: str | None = None):
+def dense(features: int, use_bias: bool = False, name: str | None = None,
+          dtype=None):
     return nn.Dense(features, use_bias=use_bias,
-                    kernel_init=nn.initializers.xavier_uniform(), name=name)
+                    kernel_init=nn.initializers.xavier_uniform(),
+                    dtype=dtype, name=name)
 
 
 class LoFTREncoderLayer(nn.Module):
     d_model: int
     nhead: int
     attention: str = "linear"  # ['linear', 'full']
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, source,
@@ -43,20 +46,28 @@ class LoFTREncoderLayer(nn.Module):
         h = self.nhead
         d = self.d_model // h
 
-        q = dense(self.d_model, name="q_proj")(x).reshape(b, l, h, d)
-        k = dense(self.d_model, name="k_proj")(source).reshape(b, -1, h, d)
-        v = dense(self.d_model, name="v_proj")(source).reshape(b, -1, h, d)
+        dt = self.dtype
+        q = dense(self.d_model, name="q_proj", dtype=dt)(x)
+        q = q.reshape(b, l, h, d)
+        k = dense(self.d_model, name="k_proj", dtype=dt)(source)
+        k = k.reshape(b, -1, h, d)
+        v = dense(self.d_model, name="v_proj", dtype=dt)(source)
+        v = v.reshape(b, -1, h, d)
         attn = linear_attention if self.attention == "linear" else full_attention
         message = attn(q, k, v, q_mask=x_mask, kv_mask=source_mask)
-        message = dense(self.d_model, name="merge")(message.reshape(b, l, c))
-        message = nn.LayerNorm(epsilon=1e-5, name="norm1")(message)
+        message = dense(self.d_model, name="merge",
+                        dtype=dt)(message.reshape(b, l, c))
+        # LayerNorm in fp32 (dtype=float32 promotes internally), cast back
+        message = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                               name="norm1")(message).astype(x.dtype)
 
         # concat-style FFN (transformer.py:54-57)
         y = jnp.concatenate([x, message], axis=-1)
-        y = dense(2 * self.d_model, name="mlp_0")(y)
+        y = dense(2 * self.d_model, name="mlp_0", dtype=dt)(y)
         y = nn.relu(y)
-        y = dense(self.d_model, name="mlp_2")(y)
-        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(y)
+        y = dense(self.d_model, name="mlp_2", dtype=dt)(y)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                         name="norm2")(y).astype(x.dtype)
         return x + y
 
 
@@ -65,6 +76,7 @@ class LocalFeatureTransformer(nn.Module):
     nhead: int
     layer_names: Sequence[str]
     attention: str = "linear"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, feat0, feat1,
@@ -75,7 +87,8 @@ class LocalFeatureTransformer(nn.Module):
         masks_same = (mask0 is None) == (mask1 is None)
         for idx, name in enumerate(self.layer_names):
             layer = LoFTREncoderLayer(self.d_model, self.nhead,
-                                      self.attention, name=f"layer_{idx}")
+                                      self.attention, self.dtype,
+                                      name=f"layer_{idx}")
             if name == "self":
                 if same_shape and masks_same:
                     # batch both images through one call (bigger matmuls)

@@ -43,13 +43,17 @@ def linear_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
     s_len = v.shape[1]
     v_scaled = v / s_len
-    # KV: [B, H, D, Dv] = sum_s K[b,s,h,d] * v[b,s,h,dv]
-    kv = jnp.einsum("bshd,bshv->bhdv", K, v_scaled)
-    # Z: [B, L, H] normalizer
-    k_sum = jnp.sum(K, axis=1)  # [B, H, D]
-    z = 1.0 / (jnp.einsum("blhd,bhd->blh", Q, k_sum) + eps)
-    out = jnp.einsum("blhd,bhdv,blh->blhv", Q, kv, z) * s_len
-    return out
+    # fp32 accumulation (MXU accumulates fp32 for bf16 operands; make the
+    # intermediates explicit so the normalizer never lives in bf16)
+    f32 = jnp.float32
+    kv = jnp.einsum("bshd,bshv->bhdv", K, v_scaled,
+                    preferred_element_type=f32)  # [B, H, D, Dv]
+    k_sum = jnp.sum(K.astype(f32), axis=1)       # [B, H, D]
+    z = 1.0 / (jnp.einsum("blhd,bhd->blh", Q.astype(f32), k_sum) + eps)
+    qkv = jnp.einsum("blhd,bhdv->blhv", Q, kv.astype(q.dtype),
+                     preferred_element_type=f32)
+    out = qkv * z[..., None] * s_len
+    return out.astype(q.dtype)
 
 
 def full_attention(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -60,7 +64,8 @@ def full_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     Args/returns as :func:`linear_attention`.
     """
     d = q.shape[-1]
-    qk = jnp.einsum("blhd,bshd->blsh", q, k)
+    qk = jnp.einsum("blhd,bshd->blsh", q, k,
+                    preferred_element_type=jnp.float32)
     if q_mask is not None or kv_mask is not None:
         qm = q_mask if q_mask is not None else jnp.ones(q.shape[:2], bool)
         kvm = kv_mask if kv_mask is not None else jnp.ones(k.shape[:2], bool)
@@ -70,4 +75,6 @@ def full_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     # rows that are fully masked produce NaN from softmax(-inf); zero them
     if q_mask is not None or kv_mask is not None:
         attn = jnp.nan_to_num(attn)
-    return jnp.einsum("blsh,bshd->blhd", attn, v)
+    out = jnp.einsum("blsh,bshd->blhd", attn.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(v.dtype)

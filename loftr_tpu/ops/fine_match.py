@@ -32,8 +32,9 @@ def fine_match(feat_f0: jax.Array, feat_f1: jax.Array):
     b, k, ww, c = feat_f0.shape
     w = int(round(ww ** 0.5))
     center0 = feat_f0[:, :, ww // 2, :]  # [B, K, C]
-    sim = jnp.einsum("bkc,bkrc->bkr", center0, feat_f1)  # [B, K, WW]
-    heatmap = jax.nn.softmax(sim / c ** 0.5, axis=-1)
+    sim = jnp.einsum("bkc,bkrc->bkr", center0, feat_f1,
+                     preferred_element_type=jnp.float32)  # [B, K, WW]
+    heatmap = jax.nn.softmax(sim.astype(jnp.float32) / c ** 0.5, axis=-1)
 
     grid = normalized_grid(w).astype(heatmap.dtype)  # [WW, 2]
     coords = jnp.einsum("bkr,rd->bkd", heatmap, grid)  # [B, K, 2]

@@ -38,8 +38,9 @@ def dual_softmax_conf(feat0: jax.Array, feat1: jax.Array,
     """
     c = feat0.shape[-1]
     scale = 1.0 / c ** 0.5
-    sim = jnp.einsum("blc,bsc->bls", feat0 * scale, feat1 * scale)
-    sim = sim / temperature
+    sim = jnp.einsum("blc,bsc->bls", feat0 * scale, feat1 * scale,
+                     preferred_element_type=jnp.float32)
+    sim = sim.astype(jnp.float32) / temperature
     if mask0 is not None:
         pair = mask0[:, :, None].astype(bool) & mask1[:, None, :].astype(bool)
         sim = jnp.where(pair, sim, -INF)
@@ -60,7 +61,9 @@ def sinkhorn_conf(feat0: jax.Array, feat1: jax.Array, bin_score: jax.Array,
     """
     c = feat0.shape[-1]
     scale = 1.0 / c ** 0.5
-    sim = jnp.einsum("blc,bsc->bls", feat0 * scale, feat1 * scale)
+    sim = jnp.einsum("blc,bsc->bls", feat0 * scale, feat1 * scale,
+                     preferred_element_type=jnp.float32)
+    sim = sim.astype(jnp.float32)
     if mask0 is not None:
         pair = mask0[:, :, None].astype(bool) & mask1[:, None, :].astype(bool)
         sim = jnp.where(pair, sim, -INF)
@@ -236,3 +239,42 @@ def matches_to_kpts(matches: CoarseMatches, hw0_c: tuple, hw1_c: tuple,
     if scale1 is not None:
         kpts1 = kpts1 * scale1[:, None, :]
     return kpts0, kpts1
+
+
+def pallas_mutual_nearest_candidates(
+        feat0: jax.Array, feat1: jax.Array, temperature: float, thr: float,
+        border_rm: int, hw0_c: tuple, hw1_c: tuple,
+        mask0: Optional[jax.Array] = None,
+        mask1: Optional[jax.Array] = None,
+        interpret: bool = False) -> CandidateMatches:
+    """CandidateMatches via the fused Pallas kernel (inference path).
+
+    Equivalent to dual_softmax_conf + mutual_nearest_candidates without ever
+    materializing the [L, S] confidence matrix.  feat0/feat1: [B, L/S, C].
+    """
+    from loftr_tpu.ops.pallas.dual_softmax import fused_dual_softmax_match
+
+    B, L, C = feat0.shape
+    S = feat1.shape[1]
+    m0 = None if mask0 is None else mask0.reshape(B, L)
+    m1 = None if mask1 is None else mask1.reshape(B, S)
+    fn = lambda a, b, ma, mb: fused_dual_softmax_match(
+        a, b, temperature, ma, mb, interpret=interpret)
+    if m0 is None:
+        best_val, best_j, colconf = jax.vmap(
+            lambda a, b: fn(a, b, None, None))(feat0, feat1)
+    else:
+        best_val, best_j, colconf = jax.vmap(fn)(feat0, feat1, m0, m1)
+
+    row_ok = _border_row_mask(hw0_c[0], hw0_c[1], border_rm, mask0)  # [*, L]
+    col_ok = _border_row_mask(hw1_c[0], hw1_c[1], border_rm, mask1)  # [*, S]
+    row_ok = jnp.broadcast_to(row_ok, (B, L))
+    col_ok = jnp.broadcast_to(col_ok, (B, S))
+
+    col_ok_at_best = jnp.take_along_axis(col_ok, best_j, axis=1)
+    colconf_at_best = jnp.take_along_axis(colconf, best_j, axis=1)
+    valid = (best_val > thr) & row_ok & col_ok_at_best & \
+        (best_val >= colconf_at_best)
+    mconf = jnp.where(valid, best_val, 0.0)
+    return CandidateMatches(j_ids=best_j.astype(jnp.int32), mconf=mconf,
+                            valid=valid)

@@ -1,0 +1,180 @@
+"""Fused dual-softmax + mutual-nearest-neighbor matching (Pallas, TPU).
+
+The XLA inference path materializes conf = softmax_rows(sim)*softmax_cols(sim)
+as a full [L, S] fp32 matrix and re-reads it for row/col maxima and MNN
+(ops/matching.py; reference behavior at coarse_matching.py:112-119,174-196).
+At 640x480 that is a 92 MB tensor touched several times per pair - pure HBM
+traffic.
+
+This kernel never materializes conf.  Three streaming passes over row tiles,
+recomputing the sim tile from the (VMEM-resident) feature matrices each time
+- FLOPs are ~free on the MXU relative to HBM:
+
+  pass 1: row softmax stats (max, sumexp) + flash-style accumulated column
+          stats (running max/sumexp with rescale);
+  pass 2: conf tile on the fly -> per-row best value/index + accumulated
+          per-column conf maximum;
+  epilogue (plain JAX, [L]-sized): thr/border/MNN checks
+          (valid iff best_val > thr and best_val == colconfmax[best_j]).
+
+Outputs feed the same CandidateMatches/top-K machinery as the XLA path,
+which remains the oracle (tested in tests/test_pallas_match.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e9
+
+
+def _stats_kernel(f0_ref, f1_ref, bias_ref,
+                  rowmax_ref, rowsum_ref, colmax_ref, colsum_ref):
+    """Pass 1. f0_ref: [TL, C] row tile; f1_ref: [Sp, C] (full, resident);
+    bias_ref: [TL, Sp] additive mask bias (0 or NEG).
+    Row outputs per tile; col outputs accumulated across the grid."""
+    i = pl.program_id(0)
+    sim = jnp.dot(f0_ref[:], f1_ref[:].T,
+                  preferred_element_type=jnp.float32) + bias_ref[:]
+    rmax = jnp.max(sim, axis=1, keepdims=True)                 # [TL, 1]
+    rowmax_ref[:] = rmax
+    rowsum_ref[:] = jnp.sum(jnp.exp(sim - rmax), axis=1, keepdims=True)
+
+    tile_cmax = jnp.max(sim, axis=0, keepdims=True)            # [1, Sp]
+    tile_csum_at_tmax = jnp.sum(jnp.exp(sim - tile_cmax), axis=0,
+                                keepdims=True)
+
+    @pl.when(i == 0)
+    def _():
+        colmax_ref[:] = tile_cmax
+        colsum_ref[:] = tile_csum_at_tmax
+
+    @pl.when(i > 0)
+    def _():
+        old_max = colmax_ref[:]
+        new_max = jnp.maximum(old_max, tile_cmax)
+        colsum_ref[:] = colsum_ref[:] * jnp.exp(old_max - new_max) + \
+            tile_csum_at_tmax * jnp.exp(tile_cmax - new_max)
+        colmax_ref[:] = new_max
+
+
+def _best_kernel(f0_ref, f1_ref, bias_ref, rowmax_ref, rowsum_ref,
+                 colmax_ref, colsum_ref,
+                 best_val_ref, best_j_ref, colconf_ref):
+    """Pass 2: conf tile on the fly; row best + accumulated column conf max."""
+    i = pl.program_id(0)
+    sim = jnp.dot(f0_ref[:], f1_ref[:].T,
+                  preferred_element_type=jnp.float32) + bias_ref[:]
+    row_sm = jnp.exp(sim - rowmax_ref[:]) / rowsum_ref[:]
+    col_sm = jnp.exp(sim - colmax_ref[:]) / colsum_ref[:]
+    conf = row_sm * col_sm                                     # [TL, Sp]
+
+    best_val_ref[:] = jnp.max(conf, axis=1, keepdims=True)
+    best_j_ref[:] = jnp.argmax(conf, axis=1,
+                               keepdims=True).astype(jnp.int32)
+    tile_colmax = jnp.max(conf, axis=0, keepdims=True)
+
+    @pl.when(i == 0)
+    def _():
+        colconf_ref[:] = tile_colmax
+
+    @pl.when(i > 0)
+    def _():
+        colconf_ref[:] = jnp.maximum(colconf_ref[:], tile_colmax)
+
+
+def _pad_to(x, n, axis, value=0.0):
+    pad = n - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile_l", "interpret"))
+def fused_dual_softmax_match(feat0: jax.Array, feat1: jax.Array,
+                             temperature: float = 0.1,
+                             mask0: Optional[jax.Array] = None,
+                             mask1: Optional[jax.Array] = None,
+                             tile_l: int = 256,
+                             interpret: bool = False
+                             ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-pair fused matcher core.
+
+    feat0: [L, C]; feat1: [S, C] (raw transformer outputs; the 1/sqrt(C) and
+    1/temperature scaling is applied here, matching dual_softmax_conf).
+    mask0: [L] / mask1: [S] optional padding masks.
+    Returns (best_val [L], best_j [L] int32, colconfmax [S]).
+    vmap over the batch axis for batched pairs.
+    """
+    L, C = feat0.shape
+    S = feat1.shape[0]
+    scale = (1.0 / C ** 0.5) / (temperature ** 0.5)
+    # split the 1/temperature between the two operands so sim = f0.f1/(C*T)
+    f0 = (feat0 * scale)
+    f1 = (feat1 * scale)
+
+    Lp = (L + tile_l - 1) // tile_l * tile_l
+    Sp = (S + 127) // 128 * 128
+    f0 = _pad_to(f0, Lp, 0)
+    f1 = _pad_to(f1, Sp, 0)
+
+    # additive bias: NEG where the pair is invalid (padding or row/col pad)
+    m0 = jnp.ones((L,), bool) if mask0 is None else mask0.astype(bool)
+    m1 = jnp.ones((S,), bool) if mask1 is None else mask1.astype(bool)
+    m0 = _pad_to(m0, Lp, 0, value=False)
+    m1 = _pad_to(m1, Sp, 0, value=False)
+    bias = jnp.where(m0[:, None] & m1[None, :], 0.0, NEG).astype(jnp.float32)
+
+    grid = (Lp // tile_l,)
+    row_spec = pl.BlockSpec((tile_l, f0.shape[1]), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    full_spec = pl.BlockSpec((Sp, f1.shape[1]), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((tile_l, Sp), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    rowout_spec = pl.BlockSpec((tile_l, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+    colout_spec = pl.BlockSpec((1, Sp), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
+
+    rowmax, rowsum, colmax, colsum = pl.pallas_call(
+        _stats_kernel,
+        grid=grid,
+        in_specs=[row_spec, full_spec, bias_spec],
+        out_specs=(rowout_spec, rowout_spec, colout_spec, colout_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((Lp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Lp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, Sp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Sp), jnp.float32),
+        ),
+        interpret=interpret,
+    )(f0, f1, bias)
+
+    best_val, best_j, colconf = pl.pallas_call(
+        _best_kernel,
+        grid=grid,
+        in_specs=[row_spec, full_spec, bias_spec, rowout_spec, rowout_spec,
+                  colout_spec, colout_spec],
+        out_specs=(rowout_spec,
+                   pl.BlockSpec((tile_l, 1), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   colout_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((Lp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Lp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, Sp), jnp.float32),
+        ),
+        interpret=interpret,
+    )(f0, f1, bias, rowmax, rowsum, colmax, colsum)
+
+    return (best_val[:L, 0], best_j[:L, 0],
+            colconf[0, :S])

@@ -19,6 +19,40 @@ import jax.numpy as jnp
 
 def gather_fine_windows(feat_f: jax.Array, cell_ids: jax.Array,
                         hw_c: tuple, window: int, stride: int) -> jax.Array:
+    """Strided-slice unfold + one row-gather (TPU-friendly default).
+
+    XLA:TPU lowers many-small-element gathers poorly; instead build all L
+    windows via W*W static shifted strided slices (pure data movement, no
+    conv) giving [B, L, W*W*C] wide rows, then gather the K selected rows in
+    a single take_along_axis - one big-row gather instead of K*W*W scattered
+    element reads.  Same output as :func:`gather_fine_windows_direct`.
+    """
+    b, hf, wf, c = feat_f.shape
+    _, k = cell_ids.shape
+    hc, wc = hw_c
+    rad = window // 2
+    pad = jnp.pad(feat_f, ((0, 0), (rad, rad + stride), (rad, rad + stride),
+                           (0, 0)))
+    taps = []
+    for dy in range(window):
+        for dx in range(window):
+            # window start for cell (y,x) is (y*stride - rad); with the +rad
+            # pad offset, tap (dy,dx) reads pad[y*stride + dy, x*stride + dx]
+            sl = jax.lax.slice(
+                pad,
+                (0, dy, dx, 0),
+                (b, dy + (hc - 1) * stride + 1, dx + (wc - 1) * stride + 1, c),
+                (1, stride, stride, 1))  # [B, hc, wc, C]
+            taps.append(sl)
+    allwin = jnp.stack(taps, axis=3)            # [B, hc, wc, WW, C]
+    allwin = allwin.reshape(b, hc * wc, window * window * c)
+    rows = jnp.take_along_axis(allwin, cell_ids[:, :, None], axis=1)
+    return rows.reshape(b, k, window * window, c)
+
+
+def gather_fine_windows_direct(feat_f: jax.Array, cell_ids: jax.Array,
+                               hw_c: tuple, window: int, stride: int
+                               ) -> jax.Array:
     """Gather W x W fine-feature windows centered on selected coarse cells.
 
     Args:

@@ -1,0 +1,82 @@
+"""Pallas fused dual-softmax matcher vs the XLA oracle (interpret mode)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from loftr_tpu.ops.matching import (dual_softmax_conf,
+                                    mutual_nearest_candidates,
+                                    pallas_mutual_nearest_candidates)
+
+
+def _feats(B, L, S, C, seed=0, plant=8):
+    rng = np.random.RandomState(seed)
+    f0 = rng.randn(B, L, C).astype(np.float32)
+    f0 /= np.linalg.norm(f0, axis=-1, keepdims=True)
+    f1 = rng.randn(B, S, C).astype(np.float32)
+    f1 /= np.linalg.norm(f1, axis=-1, keepdims=True)
+    for b in range(B):
+        ii = rng.permutation(L)[:plant]
+        jj = rng.permutation(S)[:plant]
+        for i, j in zip(ii, jj):
+            f1[b, j] = f0[b, i]
+    return f0 * 4, f1 * 4
+
+
+@pytest.mark.parametrize("shape", [(6, 8, 6, 8), (4, 5, 6, 7)])
+def test_fused_matches_oracle(shape):
+    h0, w0, h1, w1 = shape
+    L, S = h0 * w0, h1 * w1
+    f0, f1 = _feats(2, L, S, 32, seed=1)
+    conf = dual_softmax_conf(jnp.asarray(f0), jnp.asarray(f1), 0.1)
+    want = mutual_nearest_candidates(conf, 0.2, 1, (h0, w0), (h1, w1))
+    got = pallas_mutual_nearest_candidates(
+        jnp.asarray(f0), jnp.asarray(f1), 0.1, 0.2, 1, (h0, w0), (h1, w1),
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.valid),
+                                  np.asarray(want.valid))
+    v = np.asarray(want.valid)
+    np.testing.assert_array_equal(np.asarray(got.j_ids)[v],
+                                  np.asarray(want.j_ids)[v])
+    np.testing.assert_allclose(np.asarray(got.mconf)[v],
+                               np.asarray(want.mconf)[v],
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_fused_matches_oracle_masked():
+    h0 = w0 = h1 = w1 = 8
+    L = S = 64
+    f0, f1 = _feats(1, L, S, 16, seed=3)
+    pm = np.zeros((1, 8, 8), bool)
+    pm[:, :6, :7] = True
+    conf = dual_softmax_conf(jnp.asarray(f0), jnp.asarray(f1), 0.1,
+                             jnp.asarray(pm.reshape(1, L)),
+                             jnp.asarray(pm.reshape(1, S)))
+    want = mutual_nearest_candidates(conf, 0.2, 1, (h0, w0), (h1, w1),
+                                     jnp.asarray(pm), jnp.asarray(pm))
+    got = pallas_mutual_nearest_candidates(
+        jnp.asarray(f0), jnp.asarray(f1), 0.1, 0.2, 1, (h0, w0), (h1, w1),
+        jnp.asarray(pm), jnp.asarray(pm), interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.valid),
+                                  np.asarray(want.valid))
+    v = np.asarray(want.valid)
+    np.testing.assert_array_equal(np.asarray(got.j_ids)[v],
+                                  np.asarray(want.j_ids)[v])
+
+
+def test_fused_multi_tile():
+    """L larger than one tile exercises the flash column accumulation."""
+    h0, w0 = 16, 20  # L = 320, tile_l=128 -> 3 tiles
+    L = h0 * w0
+    f0, f1 = _feats(1, L, L, 32, seed=5, plant=20)
+    from loftr_tpu.ops.pallas.dual_softmax import fused_dual_softmax_match
+    bv, bj, cc = fused_dual_softmax_match(
+        jnp.asarray(f0[0]), jnp.asarray(f1[0]), 0.1, tile_l=128,
+        interpret=True)
+    conf = np.asarray(dual_softmax_conf(jnp.asarray(f0), jnp.asarray(f1),
+                                        0.1))[0]
+    np.testing.assert_allclose(np.asarray(bv), conf.max(axis=1),
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(bj), conf.argmax(axis=1))
+    np.testing.assert_allclose(np.asarray(cc), conf.max(axis=0),
+                               rtol=1e-4, atol=1e-7)

@@ -5,7 +5,8 @@ import torch
 import torch.nn.functional as F
 import jax.numpy as jnp
 
-from loftr_tpu.ops.windows import gather_fine_windows
+from loftr_tpu.ops.windows import (gather_fine_windows,
+                                   gather_fine_windows_direct)
 from loftr_tpu.ops.interpolate import upsample2x_align_corners
 from loftr_tpu.ops.fine_match import fine_match, normalized_grid
 
@@ -69,3 +70,18 @@ def test_fine_match_uniform_heatmap_center():
     f1 = np.zeros((B, K, W * W, C), np.float32)
     out = np.asarray(fine_match(jnp.asarray(f0), jnp.asarray(f1)))
     np.testing.assert_allclose(out[0, 0, :2], [0.0, 0.0], atol=1e-6)
+
+
+def test_gather_unfold_equals_direct():
+    rng = np.random.RandomState(3)
+    B, Hf, Wf, C = 2, 24, 32, 8
+    W, stride = 5, 4
+    hc, wc = Hf // stride, Wf // stride
+    feat = rng.randn(B, Hf, Wf, C).astype(np.float32)
+    ids = rng.randint(0, hc * wc, size=(B, 9)).astype(np.int32)
+    a = np.asarray(gather_fine_windows(jnp.asarray(feat), jnp.asarray(ids),
+                                       (hc, wc), W, stride))
+    b = np.asarray(gather_fine_windows_direct(jnp.asarray(feat),
+                                              jnp.asarray(ids),
+                                              (hc, wc), W, stride))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
