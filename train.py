@@ -43,6 +43,11 @@ def parse_args():
                    help="override TRAINER.N_SAMPLES_PER_SUBSET")
     p.add_argument("--config-json", default=None,
                    help="JSON dict of nested config overrides")
+    p.add_argument("--val-npz-path", default=None,
+                   help="scannet-style val npz (enables per-epoch val)")
+    p.add_argument("--val-data-root", default=None)
+    p.add_argument("--val-pose-solver", default="jax",
+                   choices=["jax", "opencv"])
     return p.parse_args()
 
 
@@ -136,8 +141,27 @@ def main():
                     dt = time.time() - t0
                     print(json.dumps({"step": step, "epoch": epoch,
                                       "time": round(dt, 1), **s}))
+            metrics = {}
+            if args.val_npz_path:
+                from loftr_tpu.data import ScanNetDataset
+                from loftr_tpu.eval.evaluator import Evaluator
+                val_ds = ScanNetDataset(
+                    args.val_data_root or args.data_root, args.val_npz_path,
+                    args.intrinsic_path, mode="test")
+                host_state = jax.device_get(state)
+                ev = Evaluator(cfg, {"params": host_state.params,
+                                     "batch_stats": host_state.batch_stats},
+                               pose_solver=args.val_pose_solver)
+                metrics = ev.evaluate_dataset(
+                    val_ds, batch_size=args.batch_size,
+                    num_workers=args.num_workers,
+                    world_size=world_size, rank=rank)
+                if rank == 0:
+                    print(json.dumps({"epoch": epoch, "val": metrics}))
             if rank == 0:
-                mgr.save(int(state.step), jax.device_get(state))
+                # ModelCheckpoint(monitor='auc@10') equivalent
+                mgr.save(int(state.step), jax.device_get(state),
+                         metrics=metrics or None)
         mgr.close()
 
 
