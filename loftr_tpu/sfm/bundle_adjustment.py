@@ -1,0 +1,302 @@
+"""Bundle adjustment with an explicit Schur complement, batched for TPU.
+
+New scope (BASELINE.json north star; no reference counterpart - the
+reference's eval stops at per-pair RANSAC poses, metrics.py:72-98).
+
+Design for TPU:
+  - static shapes everywhere: observations are grouped BY POINT into a
+    [P, O] table (O = max observations per point; zero-weight padding), so
+    the camera-camera Schur fill is a per-point dense O x O block outer
+    product scattered with index_add - no dynamic sparsity;
+  - the reduced camera system S [6C, 6C] is small (C = keyframes) and solved
+    densely on the MXU; landmark updates back-substitute in closed form
+    (3x3 inverses);
+  - Levenberg-Marquardt outer loop on the host, one jitted device program
+    per iteration;
+  - distribution: shard the point axis; every partial (S, b) is formed
+    locally and psum-reduced over the mesh axis, the solve is replicated,
+    landmark back-substitution stays local (see
+    :func:`bundle_adjust_sharded`).
+
+Conventions: pose = world->camera (R, t); observation uv is in NORMALIZED
+camera coordinates (pixels pre-multiplied by K^-1); pose increments are
+left-multiplied se3 perturbations.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from loftr_tpu.sfm.lie import exp_se3, hat
+
+
+@flax.struct.dataclass
+class BAProblem:
+    R: jax.Array        # [C, 3, 3] world->cam rotations
+    t: jax.Array        # [C, 3]
+    points: jax.Array   # [P, 3]
+    obs_uv: jax.Array   # [P, O, 2] normalized coords
+    obs_cam: jax.Array  # [P, O] int32 camera index (0 for padding)
+    obs_w: jax.Array    # [P, O] weight, 0 for padding
+    fix_mask: jax.Array  # [C] bool: gauge-fixed cameras (no update)
+
+    @property
+    def n_cams(self):
+        return self.R.shape[0]
+
+
+def _project(R, t, X):
+    """Xc = R X + t; returns (pred [2], Xc [3])."""
+    Xc = (R @ X[..., None])[..., 0] + t
+    z = jnp.maximum(Xc[..., 2:3], 1e-6)
+    return Xc[..., :2] / z, Xc
+
+
+def reprojection_cost(prob: BAProblem) -> jax.Array:
+    """Weighted squared reprojection error (normalized coords)."""
+    R = prob.R[prob.obs_cam]          # [P, O, 3, 3]
+    t = prob.t[prob.obs_cam]          # [P, O, 3]
+    pred, _ = _project(R, t, prob.points[:, None, :])
+    r = (pred - prob.obs_uv) * prob.obs_w[..., None]
+    return jnp.sum(r ** 2)
+
+
+def _linearize(prob: BAProblem):
+    """Per-observation residuals + Jacobians.
+
+    Returns r [P,O,2], J_c [P,O,2,6], J_p [P,O,2,3].
+    """
+    R = prob.R[prob.obs_cam]
+    t = prob.t[prob.obs_cam]
+    pred, Xc = _project(R, t, prob.points[:, None, :])
+    w = prob.obs_w[..., None]
+    r = (pred - prob.obs_uv) * w
+
+    z = jnp.maximum(Xc[..., 2], 1e-6)
+    x, y = Xc[..., 0], Xc[..., 1]
+    zero = jnp.zeros_like(z)
+    inv_z = 1.0 / z
+    # d(pred)/d(Xc): [P, O, 2, 3]
+    P_mat = jnp.stack([
+        jnp.stack([inv_z, zero, -x * inv_z ** 2], -1),
+        jnp.stack([zero, inv_z, -y * inv_z ** 2], -1),
+    ], axis=-2)
+    # d(Xc)/d(xi) for left-perturbation exp(xi) (R, t): [-hat(Xc) | I]
+    dxc_dxi = jnp.concatenate([
+        -hat(Xc), jnp.broadcast_to(jnp.eye(3, dtype=Xc.dtype),
+                                   Xc.shape[:-1] + (3, 3))], axis=-1)
+    J_c = (P_mat @ dxc_dxi) * w[..., None]          # [P, O, 2, 6]
+    J_p = (P_mat @ R) * w[..., None]                # [P, O, 2, 3]
+    return r, J_c, J_p
+
+
+def _build_normal_terms(prob: BAProblem, lm_lambda):
+    """All per-point/per-camera normal-equation pieces."""
+    r, J_c, J_p = _linearize(prob)
+    C = prob.n_cams
+
+    # camera blocks
+    Hcc_blocks = jnp.einsum("poia,poib->poab", J_c, J_c)   # [P, O, 6, 6]
+    b_c_obs = -jnp.einsum("poia,poi->poa", J_c, r)         # [P, O, 6]
+    cam = prob.obs_cam.reshape(-1)
+    Hcc = jnp.zeros((C, 6, 6)).at[cam].add(
+        Hcc_blocks.reshape(-1, 6, 6))
+    b_c = jnp.zeros((C, 6)).at[cam].add(b_c_obs.reshape(-1, 6))
+
+    # point blocks
+    Hpp = jnp.einsum("poia,poib->pab", J_p, J_p)           # [P, 3, 3]
+    b_p = -jnp.einsum("poia,poi->pa", J_p, r)              # [P, 3]
+    Hpp = Hpp + lm_lambda * jnp.eye(3) * \
+        jnp.maximum(jnp.trace(Hpp, axis1=1, axis2=2)[:, None, None] / 3,
+                    1e-8)
+    Hpp_inv = jnp.linalg.inv(Hpp + 1e-9 * jnp.eye(3))
+
+    # cross blocks per observation (unique (cam, point) per obs)
+    A = jnp.einsum("poia,poib->poab", J_c, J_p)            # [P, O, 6, 3]
+    return r, Hcc, b_c, Hpp_inv, b_p, A
+
+
+def _schur_reduce(prob: BAProblem, Hcc, b_c, Hpp_inv, b_p, A, lm_lambda):
+    """Form the reduced camera system S, rhs."""
+    C = prob.n_cams
+    O = prob.obs_cam.shape[1]
+    G = jnp.einsum("poab,pbc->poac", A, Hpp_inv)           # [P, O, 6, 3]
+
+    # S -= sum_p sum_{o1,o2} G[p,o1] A[p,o2]^T at block (cam_o1, cam_o2)
+    pair_blocks = jnp.einsum("poac,pqbc->poqab", G, A)     # [P, O, O, 6, 6]
+    cam_i = jnp.repeat(prob.obs_cam[:, :, None], O, axis=2).reshape(-1)
+    cam_j = jnp.repeat(prob.obs_cam[:, None, :], O, axis=1).reshape(-1)
+    S = jnp.zeros((C, C, 6, 6))
+    S = S.at[cam_i, cam_j].add(-pair_blocks.reshape(-1, 6, 6))
+    S = S.at[jnp.arange(C), jnp.arange(C)].add(Hcc)
+
+    # rhs: b_c - sum_obs G b_p[point]
+    gb = jnp.einsum("poac,pc->poa", G, b_p)                # [P, O, 6]
+    rhs = b_c - jnp.zeros((C, 6)).at[prob.obs_cam.reshape(-1)].add(
+        gb.reshape(-1, 6))
+
+    # LM damping on camera blocks
+    diag_scale = jnp.maximum(
+        jnp.trace(Hcc, axis1=1, axis2=2)[:, None, None] / 6, 1e-8)
+    S = S.at[jnp.arange(C), jnp.arange(C)].add(
+        lm_lambda * jnp.eye(6) * diag_scale)
+    return S, rhs
+
+
+def _solve_cameras(prob: BAProblem, S, rhs):
+    """Dense solve of the (gauge-fixed) reduced system."""
+    C = prob.n_cams
+    # gauge fixing: identity rows/cols for fixed cameras
+    fixed = prob.fix_mask
+    blockmask = (~fixed[:, None]) & (~fixed[None, :])
+    S = jnp.where(blockmask[:, :, None, None], S, 0.0)
+    eye_block = jnp.eye(6) * 1.0
+    S = S.at[jnp.arange(C), jnp.arange(C)].set(
+        jnp.where(fixed[:, None, None], eye_block[None], S[jnp.arange(C),
+                                                           jnp.arange(C)]))
+    rhs = jnp.where(fixed[:, None], 0.0, rhs)
+
+    Sd = S.transpose(0, 2, 1, 3).reshape(C * 6, C * 6)
+    delta = jnp.linalg.solve(Sd, rhs.reshape(-1))
+    return delta.reshape(C, 6)
+
+
+def _back_substitute(prob: BAProblem, Hpp_inv, b_p, A, delta_c):
+    """Landmark updates: dp = Hpp^-1 (b_p - sum_o A_o^T dc_{cam_o})."""
+    dc = delta_c[prob.obs_cam]                       # [P, O, 6]
+    At_dc = jnp.einsum("poab,poa->pb", A, dc)
+    dp = jnp.einsum("pab,pb->pa", Hpp_inv, b_p - At_dc)
+    return dp
+
+
+def _apply_update(prob: BAProblem, delta_c, delta_p):
+    T = exp_se3(delta_c)                             # [C, 4, 4]
+    R_new = T[:, :3, :3] @ prob.R
+    t_new = (T[:, :3, :3] @ prob.t[..., None])[..., 0] + T[:, :3, 3]
+    return prob.replace(R=R_new, t=t_new, points=prob.points + delta_p)
+
+
+@jax.jit
+def ba_iteration(prob: BAProblem, lm_lambda
+                 ) -> Tuple[BAProblem, jax.Array, jax.Array]:
+    """One damped Gauss-Newton (LM) step.
+
+    Returns (candidate problem, old cost, new cost)."""
+    r, Hcc, b_c, Hpp_inv, b_p, A = _build_normal_terms(prob, lm_lambda)
+    S, rhs = _schur_reduce(prob, Hcc, b_c, Hpp_inv, b_p, A, lm_lambda)
+    delta_c = _solve_cameras(prob, S, rhs)
+    delta_p = _back_substitute(prob, Hpp_inv, b_p, A, delta_c)
+    new_prob = _apply_update(prob, delta_c, delta_p)
+    return new_prob, jnp.sum(r ** 2), reprojection_cost(new_prob)
+
+
+def bundle_adjust(prob: BAProblem, max_iters: int = 20,
+                  lm_lambda0: float = 1e-4,
+                  tol: float = 1e-10, verbose: bool = False
+                  ) -> Tuple[BAProblem, float]:
+    """Host-controlled LM loop; one device program per iteration."""
+    lam = lm_lambda0
+    cost = float(reprojection_cost(prob))
+    for it in range(max_iters):
+        cand, old_cost, new_cost = ba_iteration(prob, jnp.asarray(lam))
+        new_cost = float(new_cost)
+        if verbose:
+            print(f"BA iter {it}: cost {cost:.6e} -> {new_cost:.6e} "
+                  f"(lambda={lam:.1e})")
+        if new_cost < cost:
+            prob = cand
+            improved = cost - new_cost
+            cost = new_cost
+            lam = max(lam * 0.3, 1e-9)
+            if improved < tol * max(cost, 1.0):
+                break
+        else:
+            lam = min(lam * 10.0, 1e6)
+            if lam >= 1e6:
+                break
+    return prob, cost
+
+
+# ---------------------------------------------------------------------------
+# Distributed BA: points (and their observations) sharded across a mesh axis;
+# the reduced camera system is formed with psum collectives over ICI/DCN and
+# solved replicated; landmark back-substitution stays shard-local.
+# (SURVEY.md §7 stage 8 / BASELINE.json north star.)
+# ---------------------------------------------------------------------------
+
+def make_sharded_ba_iteration(mesh, axis: str = "data"):
+    """Build a shard_map'd BA iteration over a point-sharded BAProblem.
+
+    The returned fn takes (prob, lm_lambda) where prob.points/obs_* are
+    sharded on `axis` (camera state replicated) and returns
+    (new_prob, old_cost, new_cost) with the same shardings.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    prob_spec = BAProblem(
+        R=P(), t=P(), points=P(axis),
+        obs_uv=P(axis), obs_cam=P(axis), obs_w=P(axis), fix_mask=P())
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(prob_spec, P()),
+             out_specs=(prob_spec, P(), P()))
+    def step(prob, lm_lambda):
+        r, Hcc_l, b_c_l, Hpp_inv, b_p, A = _build_normal_terms(
+            prob, lm_lambda)
+        # NB: _schur_reduce applies LM damping from its Hcc argument, so the
+        # reduction must see the GLOBAL Hcc; psum partial sums first.
+        Hcc = jax.lax.psum(Hcc_l, axis)
+        b_c = jax.lax.psum(b_c_l, axis)
+        S_l, rhs_l = _schur_reduce(prob, jnp.zeros_like(Hcc),
+                                   jnp.zeros_like(b_c), Hpp_inv, b_p, A,
+                                   0.0)
+        S = jax.lax.psum(S_l, axis)
+        rhs = jax.lax.psum(rhs_l, axis) + b_c
+        C = prob.n_cams
+        S = S.at[jnp.arange(C), jnp.arange(C)].add(Hcc)
+        diag_scale = jnp.maximum(
+            jnp.trace(Hcc, axis1=1, axis2=2)[:, None, None] / 6, 1e-8)
+        S = S.at[jnp.arange(C), jnp.arange(C)].add(
+            lm_lambda * jnp.eye(6) * diag_scale)
+
+        delta_c = _solve_cameras(prob, S, rhs)          # replicated solve
+        delta_p = _back_substitute(prob, Hpp_inv, b_p, A, delta_c)  # local
+        new_prob = _apply_update(prob, delta_c, delta_p)
+        old_cost = jax.lax.psum(jnp.sum(r ** 2), axis)
+        new_cost = jax.lax.psum(reprojection_cost(new_prob), axis)
+        return new_prob, old_cost, new_cost
+
+    return step
+
+
+def bundle_adjust_sharded(prob: BAProblem, mesh, axis: str = "data",
+                          max_iters: int = 20, lm_lambda0: float = 1e-4,
+                          tol: float = 1e-10) -> Tuple[BAProblem, float]:
+    """LM loop over the sharded iteration.  `prob` must already be
+    device_put with points/obs sharded on `axis` (see
+    loftr_tpu.parallel.mesh helpers)."""
+    step = make_sharded_ba_iteration(mesh, axis)
+    lam = lm_lambda0
+    cost = None
+    for _ in range(max_iters):
+        cand, old_cost, new_cost = step(prob, jnp.asarray(lam))
+        if cost is None:
+            cost = float(old_cost)
+        new_cost = float(new_cost)
+        if new_cost < cost:
+            prob = cand
+            improved = cost - new_cost
+            cost = new_cost
+            lam = max(lam * 0.3, 1e-9)
+            if improved < tol * max(cost, 1.0):
+                break
+        else:
+            lam = min(lam * 10.0, 1e6)
+            if lam >= 1e6:
+                break
+    return prob, cost
