@@ -50,11 +50,16 @@ class Evaluator:
         return symmetric_epipolar_distance(
             result.mkpts0_f, result.mkpts1_f, E, inp.K0, inp.K1)
 
-    def evaluate_batches(self, batches: Iterable, rng: Optional[jax.Array] = None
-                         ) -> Dict[str, float]:
-        """batches: iterable of (MatchInput, meta-list)."""
+    def evaluate_batches(self, batches: Iterable, rng: Optional[jax.Array] = None,
+                         dump_path: Optional[str] = None) -> Dict[str, float]:
+        """batches: iterable of (MatchInput, meta-list).
+
+        dump_path: optional .npz path for per-pair records (the reference's
+        --dump_dir equivalent, lightning_loftr.py:211-228); render with
+        tools/visualize_dump.py."""
         metrics = {"identifiers": [], "R_errs": [], "t_errs": [],
                    "epi_errs": [], "n_matches": []}
+        dumps = [] if dump_path else None
         rng = jax.random.PRNGKey(0) if rng is None else rng
         pixel_thr = self.config.trainer.ransac_pixel_thr
         conf = self.config.trainer.ransac_conf
@@ -116,7 +121,20 @@ class Evaluator:
                 t_err, R_err = relative_pose_error(T_0to1[b], R, t)
                 metrics["R_errs"].append(R_err)
                 metrics["t_errs"].append(t_err)
+                if dumps is not None:
+                    dumps.append({
+                        "identifier": metrics["identifiers"][-1],
+                        "pair_names": meta[b].get("pair_names"),
+                        "mkpts0_f": kpts0[b][v], "mkpts1_f": kpts1[b][v],
+                        "mconf": np.asarray(result.coarse.mconf)[b][v],
+                        "epi_errs": epi[b][v],
+                        "R_err": metrics["R_errs"][-1],
+                        "t_err": metrics["t_errs"][-1],
+                    })
 
+        if dumps is not None:
+            np.savez_compressed(
+                dump_path, records=np.asarray(dumps, dtype=object))
         return aggregate_metrics(metrics, self.config.trainer.epi_err_thr)
 
     def evaluate_dataset(self, dataset, batch_size: int = 1,

@@ -114,7 +114,7 @@ def main():
     concat = ConcatDataset(datasets)
     loader = DataLoader(concat, args.batch_size,
                         num_workers=args.num_workers, drop_last=False)
-    agg = ev.evaluate_batches(loader)
+    agg = ev.evaluate_batches(loader, dump_path=args.dump)
     print(json.dumps(agg))
 
 
