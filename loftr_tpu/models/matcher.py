@@ -88,12 +88,20 @@ class LoFTR(nn.Module):
         conf_with_bin = None
         conf = None
         use_pallas = (mc.use_pallas and not train and
-                      mc.match_type == "dual_softmax")
-        if use_pallas:
+                      (mc.match_type == "dual_softmax" or
+                       (mc.match_type == "sinkhorn" and
+                        not mc.skh_prefilter)))
+        if use_pallas and mc.match_type == "dual_softmax":
             # fused kernel: no [L, S] conf matrix is ever materialized
             cand = M.pallas_mutual_nearest_candidates(
                 feat_c0, feat_c1, mc.dsmax_temperature, mc.thr, mc.border_rm,
                 hw0_c, hw1_c, inp.mask0, inp.mask1)
+        elif use_pallas and mc.match_type == "sinkhorn":
+            bin_score = self.param(
+                "bin_score", lambda k: jnp.asarray(mc.skh_init_bin_score))
+            cand = M.pallas_sinkhorn_candidates(
+                feat_c0, feat_c1, bin_score, mc.skh_iters, mc.thr,
+                mc.border_rm, hw0_c, hw1_c, inp.mask0, inp.mask1)
         elif mc.match_type == "dual_softmax":
             conf = M.dual_softmax_conf(feat_c0, feat_c1, mc.dsmax_temperature,
                                        mask_c0, mask_c1)

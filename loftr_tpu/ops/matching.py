@@ -278,3 +278,40 @@ def pallas_mutual_nearest_candidates(
     mconf = jnp.where(valid, best_val, 0.0)
     return CandidateMatches(j_ids=best_j.astype(jnp.int32), mconf=mconf,
                             valid=valid)
+
+
+def pallas_sinkhorn_candidates(
+        feat0: jax.Array, feat1: jax.Array, bin_score: jax.Array,
+        iters: int, thr: float, border_rm: int,
+        hw0_c: tuple, hw1_c: tuple,
+        mask0: Optional[jax.Array] = None,
+        mask1: Optional[jax.Array] = None,
+        interpret: bool = False) -> CandidateMatches:
+    """CandidateMatches via the fused Pallas Sinkhorn kernel (inference,
+    prefilter-off path).  Equivalent to sinkhorn_conf +
+    mutual_nearest_candidates without materializing the coupling matrix."""
+    from loftr_tpu.ops.pallas.sinkhorn import fused_sinkhorn_match
+
+    B, L, C = feat0.shape
+    S = feat1.shape[1]
+    m0 = None if mask0 is None else mask0.reshape(B, L)
+    m1 = None if mask1 is None else mask1.reshape(B, S)
+    fn = lambda a, b, ma, mb: fused_sinkhorn_match(
+        a, b, bin_score, iters, ma, mb, interpret=interpret)
+    if m0 is None:
+        best_val, best_j, colconf, _, _ = jax.vmap(
+            lambda a, b: fn(a, b, None, None))(feat0, feat1)
+    else:
+        best_val, best_j, colconf, _, _ = jax.vmap(fn)(feat0, feat1, m0, m1)
+
+    row_ok = _border_row_mask(hw0_c[0], hw0_c[1], border_rm, mask0)
+    col_ok = _border_row_mask(hw1_c[0], hw1_c[1], border_rm, mask1)
+    row_ok = jnp.broadcast_to(row_ok, (B, L))
+    col_ok = jnp.broadcast_to(col_ok, (B, S))
+    col_ok_at_best = jnp.take_along_axis(col_ok, best_j, axis=1)
+    colconf_at_best = jnp.take_along_axis(colconf, best_j, axis=1)
+    valid = (best_val > thr) & row_ok & col_ok_at_best & \
+        (best_val >= colconf_at_best)
+    mconf = jnp.where(valid, best_val, 0.0)
+    return CandidateMatches(j_ids=best_j.astype(jnp.int32), mconf=mconf,
+                            valid=valid)

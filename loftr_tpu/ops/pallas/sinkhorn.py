@@ -1,0 +1,229 @@
+"""Fused Sinkhorn-OT matching (Pallas, TPU).
+
+The XLA OT path (ops/sinkhorn.py + ops/matching.py::sinkhorn_conf)
+materializes the [L+1, S+1] coupling matrix and re-reads it ~4x per Sinkhorn
+iteration.  Here the couplings are recomputed from the VMEM-resident feature
+matrices every pass (sim = f0 f1^T on the MXU is ~free next to HBM traffic):
+
+  per iteration, ONE streaming pass over row tiles:
+    u_i = log_mu - lse_j([sim_i + v, alpha + v_bin])   (row update)
+    + flash-accumulated column stats of (sim + u_new)  (for the v update)
+  dustbin row/column updates are O(L+S) closed forms done in plain JAX.
+
+  final pass: conf_ij = exp(sim + u_i + v_j + log(L+S)) on the fly ->
+  per-row best value/index + per-column conf max (+ the logit maxima needed
+  for the skh_prefilter rule), same epilogue contract as the dual-softmax
+  kernel.
+
+Semantics match ops/sinkhorn.py::log_optimal_transport (same update order:
+u from current v, then v from new u) - verified in tests/test_pallas_match.py.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e9
+
+
+def _u_kernel(f0_ref, f1_ref, bias_ref, v_ref, scal_ref,
+              u_ref, colmax_ref, colsum_ref):
+    """One Sinkhorn half-iteration over a row tile.
+
+    scal_ref (SMEM [3]): [alpha + v_bin, log_mu (=-log(L+S)), pad].
+    v_ref: [1, Sp] current column potentials.
+    Outputs: u (new, per row), flash-accumulated colmax/colsum of
+    (sim + u_new) over row tiles.
+    """
+    i = pl.program_id(0)
+    sim = jnp.dot(f0_ref[:], f1_ref[:].T,
+                  preferred_element_type=jnp.float32) + bias_ref[:]
+    av_bin = scal_ref[0]
+    log_mu = scal_ref[1]
+
+    t = sim + v_ref[:]                                    # [TL, Sp]
+    m = jnp.maximum(jnp.max(t, axis=1, keepdims=True), av_bin)
+    lse = m + jnp.log(jnp.sum(jnp.exp(t - m), axis=1, keepdims=True) +
+                      jnp.exp(av_bin - m))
+    u_new = log_mu - lse                                  # [TL, 1]
+    u_ref[:] = u_new
+
+    z2 = sim + u_new                                      # [TL, Sp]
+    tile_cmax = jnp.max(z2, axis=0, keepdims=True)
+    tile_csum = jnp.sum(jnp.exp(z2 - tile_cmax), axis=0, keepdims=True)
+
+    @pl.when(i == 0)
+    def _():
+        colmax_ref[:] = tile_cmax
+        colsum_ref[:] = tile_csum
+
+    @pl.when(i > 0)
+    def _():
+        old = colmax_ref[:]
+        new = jnp.maximum(old, tile_cmax)
+        colsum_ref[:] = colsum_ref[:] * jnp.exp(old - new) + \
+            tile_csum * jnp.exp(tile_cmax - new)
+        colmax_ref[:] = new
+
+
+def _ot_best_kernel(f0_ref, f1_ref, bias_ref, u_ref, v_ref, scal_ref,
+                    best_val_ref, best_j_ref, colconf_ref, rowlog_ref,
+                    collog_ref):
+    """Final pass: conf = exp(sim + u + v + log(L+S)) on the fly.
+
+    scal_ref (SMEM [1]): [log(L+S)].
+    Outputs: per-row best conf value/index; accumulated per-column conf max;
+    per-row max of (sim + v) and per-column max of (sim + u) (for the
+    dustbin prefilter comparisons)."""
+    i = pl.program_id(0)
+    sim = jnp.dot(f0_ref[:], f1_ref[:].T,
+                  preferred_element_type=jnp.float32) + bias_ref[:]
+    logits = sim + u_ref[:] + v_ref[:] + scal_ref[0]
+    conf = jnp.exp(logits)
+
+    best_val_ref[:] = jnp.max(conf, axis=1, keepdims=True)
+    best_j_ref[:] = jnp.argmax(conf, axis=1,
+                               keepdims=True).astype(jnp.int32)
+    rowlog_ref[:] = jnp.max(sim + v_ref[:], axis=1, keepdims=True)
+
+    tile_colmax = jnp.max(conf, axis=0, keepdims=True)
+    tile_collog = jnp.max(sim + u_ref[:], axis=0, keepdims=True)
+
+    @pl.when(i == 0)
+    def _():
+        colconf_ref[:] = tile_colmax
+        collog_ref[:] = tile_collog
+
+    @pl.when(i > 0)
+    def _():
+        colconf_ref[:] = jnp.maximum(colconf_ref[:], tile_colmax)
+        collog_ref[:] = jnp.maximum(collog_ref[:], tile_collog)
+
+
+def _pad_to(x, n, axis, value=0.0):
+    pad = n - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("iters", "tile_l", "interpret"))
+def fused_sinkhorn_match(feat0: jax.Array, feat1: jax.Array,
+                         bin_score: jax.Array, iters: int = 3,
+                         mask0: Optional[jax.Array] = None,
+                         mask1: Optional[jax.Array] = None,
+                         tile_l: int = 256, interpret: bool = False):
+    """Per-pair fused OT matcher core.
+
+    feat0: [L, C]; feat1: [S, C] raw transformer features (the 1/sqrt(C)
+    scaling is applied here, matching sinkhorn_conf).
+    Returns (best_val [L], best_j [L], colconf [S],
+             prefilter0 [L], prefilter1 [S]) where prefilter* flag rows/cols
+    whose assignment argmax is the dustbin (coarse_matching.py:136-140).
+    """
+    L, C = feat0.shape
+    S = feat1.shape[0]
+    f32 = jnp.float32
+    scale = 1.0 / C ** 0.5
+    f0 = feat0 * scale
+    f1 = feat1 * scale
+    alpha = jnp.asarray(bin_score, f32)
+
+    Lp = (L + tile_l - 1) // tile_l * tile_l
+    Sp = (S + 127) // 128 * 128
+    f0 = _pad_to(f0, Lp, 0)
+    f1 = _pad_to(f1, Sp, 0)
+    m0 = jnp.ones((L,), bool) if mask0 is None else mask0.astype(bool)
+    m1 = jnp.ones((S,), bool) if mask1 is None else mask1.astype(bool)
+    m0p = _pad_to(m0, Lp, 0, value=False)
+    m1p = _pad_to(m1, Sp, 0, value=False)
+    bias = jnp.where(m0p[:, None] & m1p[None, :], 0.0, NEG).astype(f32)
+    # geometric padding vs mask-invalid: the dustbin row/column spans ALL
+    # real rows/cols (bins are alpha regardless of the pair mask,
+    # coarse_matching.py:121-131), so only j >= S / i >= L are excluded
+    # from the dustbin lses.
+    col_real = jnp.arange(Sp) < S
+    row_real = jnp.arange(Lp) < L
+
+    norm = -jnp.log(jnp.asarray(L + S, f32))
+    log_mu_bin = jnp.log(jnp.asarray(S, f32)) + norm
+    log_nu = norm
+    log_nu_bin = jnp.log(jnp.asarray(L, f32)) + norm
+
+    grid = (Lp // tile_l,)
+    row_spec = pl.BlockSpec((tile_l, f0.shape[1]), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    full_spec = pl.BlockSpec((Sp, f1.shape[1]), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((tile_l, Sp), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    rowout_spec = pl.BlockSpec((tile_l, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+    colin_spec = pl.BlockSpec((1, Sp), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+
+    u = jnp.zeros((Lp, 1), f32)
+    u_bin = jnp.zeros((), f32)
+    v = jnp.zeros((1, Sp), f32)
+    v_bin = jnp.zeros((), f32)
+
+    def lse(x):
+        return jax.nn.logsumexp(x)
+
+    for _ in range(iters):
+        # dustbin-row update from current v (z[L, :] = alpha everywhere)
+        v_full_real = jnp.where(col_real, v[0], -jnp.inf)
+        u_bin = log_mu_bin - (alpha + lse(
+            jnp.concatenate([v_full_real, v_bin[None]])))
+        scal = jnp.stack([alpha + v_bin, norm, 0.0])
+        u, colmax, colsum = pl.pallas_call(
+            _u_kernel,
+            grid=grid,
+            in_specs=[row_spec, full_spec, bias_spec, colin_spec,
+                      pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=(rowout_spec, colin_spec, colin_spec),
+            out_shape=(jax.ShapeDtypeStruct((Lp, 1), f32),
+                       jax.ShapeDtypeStruct((1, Sp), f32),
+                       jax.ShapeDtypeStruct((1, Sp), f32)),
+            interpret=interpret,
+        )(f0, f1, bias, v, scal)
+        # v update from new u: per real column, lse over rows + dustbin row
+        col_lse = colmax[0] + jnp.log(jnp.maximum(colsum[0], 1e-38))
+        col_total = jnp.logaddexp(col_lse, alpha + u_bin)
+        v = jnp.where(col_real, log_nu - col_total, 0.0)[None, :]
+        # dustbin column: z[:, S] = alpha for all real rows (incl corner)
+        u_full_real = jnp.where(row_real, u[:, 0], -jnp.inf)
+        v_bin = log_nu_bin - (alpha + lse(
+            jnp.concatenate([u_full_real, u_bin[None]])))
+
+    scal2 = jnp.stack([-norm])  # log(L+S)
+    best_val, best_j, colconf, rowlog, collog = pl.pallas_call(
+        _ot_best_kernel,
+        grid=grid,
+        in_specs=[row_spec, full_spec, bias_spec, rowout_spec, colin_spec,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(rowout_spec,
+                   pl.BlockSpec((tile_l, 1), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   colin_spec, rowout_spec, colin_spec),
+        out_shape=(jax.ShapeDtypeStruct((Lp, 1), f32),
+                   jax.ShapeDtypeStruct((Lp, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((1, Sp), f32),
+                   jax.ShapeDtypeStruct((Lp, 1), f32),
+                   jax.ShapeDtypeStruct((1, Sp), f32)),
+        interpret=interpret,
+    )(f0, f1, bias, u, v, scal2)
+
+    # prefilter: row/col argmax of the assignment (incl. dustbin) is the bin
+    prefilter0 = (alpha + v_bin) > rowlog[:L, 0]
+    prefilter1 = (alpha + u_bin) > collog[0, :S]
+    return (best_val[:L, 0], best_j[:L, 0], colconf[0, :S],
+            prefilter0, prefilter1)

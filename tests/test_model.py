@@ -146,3 +146,46 @@ def test_train_path_and_loss():
     gnorm = jax.tree_util.tree_reduce(
         lambda a, x: a + float(jnp.sum(jnp.abs(x))), grads, 0.0)
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+@pytest.mark.parametrize("match_type", ["dual_softmax", "sinkhorn"])
+def test_pallas_path_equals_xla_path(match_type):
+    """Full matcher with use_pallas=True produces the same matches as the
+    XLA path (interpret-mode kernels on CPU)."""
+    import loftr_tpu.ops.pallas.dual_softmax as pds
+    import loftr_tpu.ops.pallas.sinkhorn as psk
+
+    # force interpret mode on CPU by monkeypatching the kernel entry points
+    orig_ds = pds.fused_dual_softmax_match
+    orig_sk = psk.fused_sinkhorn_match
+
+    cfg_base = _small_cfg(match_coarse={"match_type": match_type,
+                                        "max_matches": 16,
+                                        "thr": 0.05})
+    inp = _inputs(seed=7)
+    model = LoFTR(cfg_base.loftr)
+    variables = model.init(jax.random.PRNGKey(2), inp)
+    want = model.apply(variables, inp)
+
+    cfg_p = cfg_base.replaced({"loftr": {"match_coarse": {
+        "use_pallas": True}}})
+    model_p = LoFTR(cfg_p.loftr)
+    import unittest.mock as mock
+    with mock.patch.object(
+            pds, "fused_dual_softmax_match",
+            lambda *a, **k: orig_ds(*a, **{**k, "interpret": True})), \
+         mock.patch.object(
+            psk, "fused_sinkhorn_match",
+            lambda *a, **k: orig_sk(*a, **{**k, "interpret": True})):
+        got = model_p.apply(variables, inp)
+
+    np.testing.assert_array_equal(np.asarray(got.coarse.mask),
+                                  np.asarray(want.coarse.mask))
+    m = np.asarray(want.coarse.mask)
+    np.testing.assert_array_equal(np.asarray(got.coarse.i_ids)[m],
+                                  np.asarray(want.coarse.i_ids)[m])
+    np.testing.assert_array_equal(np.asarray(got.coarse.j_ids)[m],
+                                  np.asarray(want.coarse.j_ids)[m])
+    np.testing.assert_allclose(np.asarray(got.mkpts1_f)[m],
+                               np.asarray(want.mkpts1_f)[m],
+                               rtol=1e-4, atol=1e-3)

@@ -80,3 +80,63 @@ def test_fused_multi_tile():
     np.testing.assert_array_equal(np.asarray(bj), conf.argmax(axis=1))
     np.testing.assert_allclose(np.asarray(cc), conf.max(axis=0),
                                rtol=1e-4, atol=1e-7)
+
+
+def _ot_oracle(f0, f1, bin_score, iters, m0=None, m1=None, prefilter=False):
+    from loftr_tpu.ops.matching import sinkhorn_conf
+    conf, assign = sinkhorn_conf(jnp.asarray(f0), jnp.asarray(f1),
+                                 jnp.asarray(bin_score), iters,
+                                 None if m0 is None else jnp.asarray(m0),
+                                 None if m1 is None else jnp.asarray(m1),
+                                 prefilter=prefilter)
+    return np.asarray(conf), np.asarray(assign)
+
+
+@pytest.mark.parametrize("shape", [(48, 48), (40, 56)])
+def test_fused_sinkhorn_matches_oracle(shape):
+    from loftr_tpu.ops.pallas.sinkhorn import fused_sinkhorn_match
+    L, S = shape
+    f0, f1 = _feats(1, L, S, 32, seed=7)
+    conf, assign = _ot_oracle(f0, f1, 1.0, 3)
+    bv, bj, cc, pf0, pf1 = fused_sinkhorn_match(
+        jnp.asarray(f0[0]), jnp.asarray(f1[0]), jnp.asarray(1.0), 3,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(bv), conf[0].max(axis=1),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(bj), conf[0].argmax(axis=1))
+    np.testing.assert_allclose(np.asarray(cc), conf[0].max(axis=0),
+                               rtol=1e-4, atol=1e-6)
+    # prefilter flags == argmax-is-dustbin on the full assignment
+    want_pf0 = assign[0].argmax(axis=1)[:L] == S
+    want_pf1 = assign[0].argmax(axis=0)[:S] == L
+    np.testing.assert_array_equal(np.asarray(pf0), want_pf0)
+    np.testing.assert_array_equal(np.asarray(pf1), want_pf1)
+
+
+def test_fused_sinkhorn_masked():
+    from loftr_tpu.ops.pallas.sinkhorn import fused_sinkhorn_match
+    L = S = 64
+    f0, f1 = _feats(1, L, S, 16, seed=8)
+    m0 = np.ones(L, bool); m0[50:] = False
+    m1 = np.ones(S, bool); m1[56:] = False
+    conf, _ = _ot_oracle(f0, f1, 1.0, 3, m0[None], m1[None])
+    bv, bj, cc, _, _ = fused_sinkhorn_match(
+        jnp.asarray(f0[0]), jnp.asarray(f1[0]), jnp.asarray(1.0), 3,
+        jnp.asarray(m0), jnp.asarray(m1), interpret=True)
+    np.testing.assert_allclose(np.asarray(bv), conf[0].max(axis=1),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cc), conf[0].max(axis=0),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_fused_sinkhorn_multi_tile():
+    from loftr_tpu.ops.pallas.sinkhorn import fused_sinkhorn_match
+    L, S = 320, 192
+    f0, f1 = _feats(1, L, S, 32, seed=9, plant=24)
+    conf, _ = _ot_oracle(f0, f1, 0.5, 3)
+    bv, bj, cc, _, _ = fused_sinkhorn_match(
+        jnp.asarray(f0[0]), jnp.asarray(f1[0]), jnp.asarray(0.5), 3,
+        tile_l=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(bv), conf[0].max(axis=1),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(bj), conf[0].argmax(axis=1))
