@@ -61,6 +61,12 @@ class ScanNetDataset:
             osp.join(self.root_dir, scene_name, "color", f"{stem0}.jpg"))
         img1 = read_scannet_gray(
             osp.join(self.root_dir, scene_name, "color", f"{stem1}.jpg"))
+        if self.augment_fn is not None:
+            rng = np.random.default_rng()
+            for img in (img0, img1):
+                u8 = (img[..., 0] * 255).astype(np.uint8)
+                img[..., 0] = self.augment_fn(u8, rng).astype(
+                    np.float32) / 255.0
         if self.mode in ("train", "val"):
             depth0 = read_scannet_depth(
                 osp.join(self.root_dir, scene_name, "depth", f"{stem0}.png"))

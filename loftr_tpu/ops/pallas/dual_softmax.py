@@ -6,7 +6,7 @@ as a full [L, S] fp32 matrix and re-reads it for row/col maxima and MNN
 At 640x480 that is a 92 MB tensor touched several times per pair - pure HBM
 traffic.
 
-This kernel never materializes conf.  Three streaming passes over row tiles,
+This kernel never materializes conf.  Streaming passes over row tiles,
 recomputing the sim tile from the (VMEM-resident) feature matrices each time
 - FLOPs are ~free on the MXU relative to HBM:
 
@@ -16,6 +16,10 @@ recomputing the sim tile from the (VMEM-resident) feature matrices each time
           per-column conf maximum;
   epilogue (plain JAX, [L]-sized): thr/border/MNN checks
           (valid iff best_val > thr and best_val == colconfmax[best_j]).
+
+Geometric padding (rows >= L, cols >= S) is excluded with in-kernel iota
+comparisons; an explicit [L, S] bias array exists ONLY when MegaDepth-style
+validity masks are given.
 
 Outputs feed the same CandidateMatches/top-K machinery as the XLA path,
 which remains the oracle (tested in tests/test_pallas_match.py).
@@ -33,46 +37,67 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e9
 
 
-def _stats_kernel(f0_ref, f1_ref, bias_ref,
-                  rowmax_ref, rowsum_ref, colmax_ref, colsum_ref):
-    """Pass 1. f0_ref: [TL, C] row tile; f1_ref: [Sp, C] (full, resident);
-    bias_ref: [TL, Sp] additive mask bias (0 or NEG).
-    Row outputs per tile; col outputs accumulated across the grid."""
+def _pad_bias(tile_l: int, Sp: int, L: int, S: int):
+    """In-kernel additive bias masking padded rows/cols of the current tile."""
     i = pl.program_id(0)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_l, 1), 0) + \
+        i * tile_l
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, Sp), 1)
+    bias = jnp.where(row_ids < L, 0.0, NEG) + \
+        jnp.where(col_ids < S, 0.0, NEG)
+    return bias.astype(jnp.float32)
+
+
+def _stats_kernel(tile_l, L, S, masked, *refs):
+    """Pass 1. refs: f0 [TL,C], f1 [Sp,C], (bias [TL,Sp] if masked),
+    rowmax, rowsum [TL,1], colmax, colsum [1,Sp] (accumulated)."""
+    if masked:
+        f0_ref, f1_ref, bias_ref, rowmax_ref, rowsum_ref, colmax_ref, \
+            colsum_ref = refs
+    else:
+        f0_ref, f1_ref, rowmax_ref, rowsum_ref, colmax_ref, colsum_ref = refs
+    i = pl.program_id(0)
+    Sp = f1_ref.shape[0]
     sim = jnp.dot(f0_ref[:], f1_ref[:].T,
-                  preferred_element_type=jnp.float32) + bias_ref[:]
-    rmax = jnp.max(sim, axis=1, keepdims=True)                 # [TL, 1]
+                  preferred_element_type=jnp.float32)
+    sim = sim + (bias_ref[:] if masked else _pad_bias(tile_l, Sp, L, S))
+    rmax = jnp.max(sim, axis=1, keepdims=True)
     rowmax_ref[:] = rmax
     rowsum_ref[:] = jnp.sum(jnp.exp(sim - rmax), axis=1, keepdims=True)
 
-    tile_cmax = jnp.max(sim, axis=0, keepdims=True)            # [1, Sp]
-    tile_csum_at_tmax = jnp.sum(jnp.exp(sim - tile_cmax), axis=0,
-                                keepdims=True)
+    tile_cmax = jnp.max(sim, axis=0, keepdims=True)
+    tile_csum = jnp.sum(jnp.exp(sim - tile_cmax), axis=0, keepdims=True)
 
     @pl.when(i == 0)
     def _():
         colmax_ref[:] = tile_cmax
-        colsum_ref[:] = tile_csum_at_tmax
+        colsum_ref[:] = tile_csum
 
     @pl.when(i > 0)
     def _():
         old_max = colmax_ref[:]
         new_max = jnp.maximum(old_max, tile_cmax)
         colsum_ref[:] = colsum_ref[:] * jnp.exp(old_max - new_max) + \
-            tile_csum_at_tmax * jnp.exp(tile_cmax - new_max)
+            tile_csum * jnp.exp(tile_cmax - new_max)
         colmax_ref[:] = new_max
 
 
-def _best_kernel(f0_ref, f1_ref, bias_ref, rowmax_ref, rowsum_ref,
-                 colmax_ref, colsum_ref,
-                 best_val_ref, best_j_ref, colconf_ref):
+def _best_kernel(tile_l, L, S, masked, *refs):
     """Pass 2: conf tile on the fly; row best + accumulated column conf max."""
+    if masked:
+        f0_ref, f1_ref, bias_ref, rowmax_ref, rowsum_ref, colmax_ref, \
+            colsum_ref, best_val_ref, best_j_ref, colconf_ref = refs
+    else:
+        f0_ref, f1_ref, rowmax_ref, rowsum_ref, colmax_ref, colsum_ref, \
+            best_val_ref, best_j_ref, colconf_ref = refs
     i = pl.program_id(0)
+    Sp = f1_ref.shape[0]
     sim = jnp.dot(f0_ref[:], f1_ref[:].T,
-                  preferred_element_type=jnp.float32) + bias_ref[:]
+                  preferred_element_type=jnp.float32)
+    sim = sim + (bias_ref[:] if masked else _pad_bias(tile_l, Sp, L, S))
     row_sm = jnp.exp(sim - rowmax_ref[:]) / rowsum_ref[:]
     col_sm = jnp.exp(sim - colmax_ref[:]) / colsum_ref[:]
-    conf = row_sm * col_sm                                     # [TL, Sp]
+    conf = row_sm * col_sm
 
     best_val_ref[:] = jnp.max(conf, axis=1, keepdims=True)
     best_j_ref[:] = jnp.argmax(conf, axis=1,
@@ -103,7 +128,7 @@ def fused_dual_softmax_match(feat0: jax.Array, feat1: jax.Array,
                              temperature: float = 0.1,
                              mask0: Optional[jax.Array] = None,
                              mask1: Optional[jax.Array] = None,
-                             tile_l: int = 256,
+                             tile_l: int = 128,
                              interpret: bool = False
                              ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Per-pair fused matcher core.
@@ -118,20 +143,14 @@ def fused_dual_softmax_match(feat0: jax.Array, feat1: jax.Array,
     S = feat1.shape[0]
     scale = (1.0 / C ** 0.5) / (temperature ** 0.5)
     # split the 1/temperature between the two operands so sim = f0.f1/(C*T)
-    f0 = (feat0 * scale)
-    f1 = (feat1 * scale)
+    f0 = feat0 * scale
+    f1 = feat1 * scale
 
     Lp = (L + tile_l - 1) // tile_l * tile_l
     Sp = (S + 127) // 128 * 128
     f0 = _pad_to(f0, Lp, 0)
     f1 = _pad_to(f1, Sp, 0)
-
-    # additive bias: NEG where the pair is invalid (padding or row/col pad)
-    m0 = jnp.ones((L,), bool) if mask0 is None else mask0.astype(bool)
-    m1 = jnp.ones((S,), bool) if mask1 is None else mask1.astype(bool)
-    m0 = _pad_to(m0, Lp, 0, value=False)
-    m1 = _pad_to(m1, Sp, 0, value=False)
-    bias = jnp.where(m0[:, None] & m1[None, :], 0.0, NEG).astype(jnp.float32)
+    masked = mask0 is not None or mask1 is not None
 
     grid = (Lp // tile_l,)
     row_spec = pl.BlockSpec((tile_l, f0.shape[1]), lambda i: (i, 0),
@@ -145,10 +164,22 @@ def fused_dual_softmax_match(feat0: jax.Array, feat1: jax.Array,
     colout_spec = pl.BlockSpec((1, Sp), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)
 
+    inputs = [f0, f1]
+    in_specs = [row_spec, full_spec]
+    if masked:
+        m0 = jnp.ones((L,), bool) if mask0 is None else mask0.astype(bool)
+        m1 = jnp.ones((S,), bool) if mask1 is None else mask1.astype(bool)
+        m0 = _pad_to(m0, Lp, 0, value=False)
+        m1 = _pad_to(m1, Sp, 0, value=False)
+        bias = jnp.where(m0[:, None] & m1[None, :], 0.0,
+                         NEG).astype(jnp.float32)
+        inputs.append(bias)
+        in_specs.append(bias_spec)
+
     rowmax, rowsum, colmax, colsum = pl.pallas_call(
-        _stats_kernel,
+        functools.partial(_stats_kernel, tile_l, L, S, masked),
         grid=grid,
-        in_specs=[row_spec, full_spec, bias_spec],
+        in_specs=in_specs,
         out_specs=(rowout_spec, rowout_spec, colout_spec, colout_spec),
         out_shape=(
             jax.ShapeDtypeStruct((Lp, 1), jnp.float32),
@@ -157,13 +188,13 @@ def fused_dual_softmax_match(feat0: jax.Array, feat1: jax.Array,
             jax.ShapeDtypeStruct((1, Sp), jnp.float32),
         ),
         interpret=interpret,
-    )(f0, f1, bias)
+    )(*inputs)
 
     best_val, best_j, colconf = pl.pallas_call(
-        _best_kernel,
+        functools.partial(_best_kernel, tile_l, L, S, masked),
         grid=grid,
-        in_specs=[row_spec, full_spec, bias_spec, rowout_spec, rowout_spec,
-                  colout_spec, colout_spec],
+        in_specs=in_specs + [rowout_spec, rowout_spec, colout_spec,
+                             colout_spec],
         out_specs=(rowout_spec,
                    pl.BlockSpec((tile_l, 1), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM),
@@ -174,7 +205,7 @@ def fused_dual_softmax_match(feat0: jax.Array, feat1: jax.Array,
             jax.ShapeDtypeStruct((1, Sp), jnp.float32),
         ),
         interpret=interpret,
-    )(f0, f1, bias, rowmax, rowsum, colmax, colsum)
+    )(*inputs, rowmax, rowsum, colmax, colsum)
 
     return (best_val[:L, 0], best_j[:L, 0],
             colconf[0, :S])

@@ -186,3 +186,30 @@ def test_loader_propagates_errors(scannet_root):
     loader = DataLoader(Broken(), batch_size=2)
     with pytest.raises(RuntimeError, match="decode failure"):
         list(loader)
+
+
+def test_augmentors():
+    from loftr_tpu.data.augment import build_augmentor
+    import pytest as _pytest
+    rng = np.random.default_rng(0)
+    img = (np.random.RandomState(0).rand(64, 80) * 255).astype(np.uint8)
+    for method in ("dark", "mobile"):
+        aug = build_augmentor(method)
+        outs = [aug(img, np.random.default_rng(s)) for s in range(8)]
+        assert all(o.shape == img.shape and o.dtype == img.dtype
+                   for o in outs)
+        # at least one draw changes the image
+        assert any(not np.array_equal(o, img) for o in outs)
+    assert build_augmentor(None) is None
+    with _pytest.raises(ValueError):
+        build_augmentor("FDA")
+
+
+def test_scannet_with_augmentation(scannet_root):
+    from loftr_tpu.data.augment import build_augmentor
+    ds = ScanNetDataset(str(scannet_root), str(scannet_root / "pairs.npz"),
+                        str(scannet_root / "intrinsics.npz"), mode="train",
+                        augment_fn=build_augmentor("dark"))
+    item = ds[0]
+    assert item["image0"].shape == (480, 640, 1)
+    assert 0.0 <= item["image0"].min() and item["image0"].max() <= 1.0

@@ -115,6 +115,8 @@ def main():
                       batch_size_per_device=max(1, args.batch_size // n_dev))
     mgr = CheckpointManager(os.path.abspath(args.ckpt_dir))
 
+    from loftr_tpu.utils.logging import MetricsLogger
+    logger = MetricsLogger(log_dir=os.path.join(args.ckpt_dir, "logs"))
     loader = DataLoader(dataset, args.batch_size, sampler,
                         num_workers=args.num_workers)
     first = next(iter(loader))[0]
@@ -136,11 +138,8 @@ def main():
                 inp = shard_batch(mesh, inp)
                 state, scalars = trainer.train_step(state, inp)
                 step = int(state.step)
-                if step % args.log_every == 0 and rank == 0:
-                    s = {k: float(v) for k, v in scalars.items()}
-                    dt = time.time() - t0
-                    print(json.dumps({"step": step, "epoch": epoch,
-                                      "time": round(dt, 1), **s}))
+                if step % args.log_every == 0:
+                    logger.log(step, scalars, epoch=epoch)
             metrics = {}
             if args.val_npz_path:
                 from loftr_tpu.data import ScanNetDataset
@@ -156,13 +155,14 @@ def main():
                     val_ds, batch_size=args.batch_size,
                     num_workers=args.num_workers,
                     world_size=world_size, rank=rank)
-                if rank == 0:
-                    print(json.dumps({"epoch": epoch, "val": metrics}))
+                logger.log(int(state.step), metrics, epoch=epoch,
+                           phase="val")
             if rank == 0:
                 # ModelCheckpoint(monitor='auc@10') equivalent
                 mgr.save(int(state.step), jax.device_get(state),
                          metrics=metrics or None)
         mgr.close()
+        logger.close()
 
 
 if __name__ == "__main__":
