@@ -31,6 +31,24 @@ from loftr_tpu.models.matcher import LoFTR
 from loftr_tpu.structs import MatchInput
 
 
+def _merge_across_hosts(metrics: Dict[str, list]) -> Dict[str, list]:
+    """Gather raw per-pair metric lists from all hosts (multi-host eval).
+
+    Replaces the reference's pickled-object Gloo all_gather side channel
+    (comm.py:141-176): under exact pair sharding each host holds disjoint
+    pairs; a host-level allgather of the python lists reassembles the full
+    set before aggregation.  No-op in single-process runs."""
+    if jax.process_count() == 1:
+        return metrics
+    from jax.experimental import multihost_utils
+    gathered = multihost_utils.process_allgather(metrics)
+    merged = {k: [] for k in metrics}
+    for host_metrics in gathered:
+        for k, v in host_metrics.items():
+            merged[k].extend(list(v))
+    return merged
+
+
 class Evaluator:
     def __init__(self, config: Config, variables: dict,
                  pose_solver: str = "opencv", num_hypotheses: int = 1024):
@@ -135,6 +153,7 @@ class Evaluator:
         if dumps is not None:
             np.savez_compressed(
                 dump_path, records=np.asarray(dumps, dtype=object))
+        metrics = _merge_across_hosts(metrics)
         return aggregate_metrics(metrics, self.config.trainer.epi_err_thr)
 
     def evaluate_dataset(self, dataset, batch_size: int = 1,

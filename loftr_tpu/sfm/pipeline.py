@@ -25,9 +25,31 @@ from loftr_tpu.sfm.pose_graph import (Edge, build_tracks, chain_world_poses,
 
 
 def select_keyframes(n_frames: int, stride: int = 5) -> List[int]:
-    """Fixed-stride keyframing (match-count-adaptive selection can be layered
-    on by the caller)."""
+    """Fixed-stride keyframing."""
     return list(range(0, n_frames, stride))
+
+
+def select_keyframes_adaptive(n_frames: int, match_fn: Callable,
+                              min_matches: int = 300,
+                              max_gap: int = 30,
+                              min_gap: int = 2) -> List[int]:
+    """Match-count-adaptive keyframing: advance from the last keyframe until
+    the match count to the candidate frame drops below ``min_matches`` (or
+    ``max_gap`` is hit), then promote the previous frame.  Guarantees
+    consecutive keyframes stay well-matched for the pose graph."""
+    kfs = [0]
+    while kfs[-1] < n_frames - 1:
+        last = kfs[-1]
+        chosen = min(last + max_gap, n_frames - 1)
+        for cand in range(last + min_gap, min(last + max_gap,
+                                              n_frames - 1) + 1):
+            k0, _, _, _ = match_fn(last, cand)
+            if len(k0) < min_matches:
+                chosen = max(cand - 1, last + min_gap)
+                break
+        chosen = max(chosen, last + 1)
+        kfs.append(min(chosen, n_frames - 1))
+    return kfs
 
 
 def _normalize(kpts: np.ndarray, K: np.ndarray) -> np.ndarray:
@@ -138,10 +160,15 @@ def build_ba_problem(n_kf: int, edges: List[Edge], K: np.ndarray,
 def run_sfm(n_frames: int, match_fn: Callable, K: np.ndarray,
             depths: Optional[Sequence[np.ndarray]] = None,
             keyframe_stride: int = 5, link_range: int = 2,
-            ba_iters: int = 15, rng: Optional[jax.Array] = None):
+            ba_iters: int = 15, rng: Optional[jax.Array] = None,
+            adaptive_keyframes: bool = False, min_matches_kf: int = 300):
     """Full pipeline.  Returns dict with keyframes, poses (R, t world->cam),
     edges, BA cost, and the solved BAProblem (or None)."""
-    kfs = select_keyframes(n_frames, keyframe_stride)
+    if adaptive_keyframes:
+        kfs = select_keyframes_adaptive(n_frames, match_fn,
+                                        min_matches=min_matches_kf)
+    else:
+        kfs = select_keyframes(n_frames, keyframe_stride)
     kf_depths = None if depths is None else [depths[k] for k in kfs]
     edges = build_edges(kfs, match_fn, K, kf_depths, link_range, rng)
     R_w, t_w = chain_world_poses(len(kfs), edges)

@@ -104,3 +104,16 @@ def test_build_tracks_chains_across_edges():
     assert len(tracks) == 1
     frames = [f for f, _ in tracks[0]]
     assert frames == [0, 1, 2]
+
+
+def test_adaptive_keyframes():
+    from loftr_tpu.sfm.pipeline import select_keyframes_adaptive
+    scene = SynthScene(n_frames=30, noise=0.1, seed=2)
+    kfs = select_keyframes_adaptive(scene.n_frames, scene.match_fn,
+                                    min_matches=150, max_gap=10)
+    assert kfs[0] == 0 and kfs[-1] == scene.n_frames - 1
+    assert all(b > a for a, b in zip(kfs, kfs[1:]))
+    # consecutive keyframes stay well matched
+    for a, b in zip(kfs, kfs[1:]):
+        k0, _, _, _ = scene.match_fn(a, b)
+        assert len(k0) >= 100, (a, b, len(k0))
