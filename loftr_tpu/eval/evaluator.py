@@ -53,8 +53,8 @@ class Evaluator:
     def __init__(self, config: Config, variables: dict,
                  pose_solver: str = "opencv", num_hypotheses: int = 1024):
         """pose_solver: 'opencv' (parity, metrics.py:72-98), 'jax'
-        (batched on-device RANSAC), or 'native' (in-tree C++ LO-RANSAC,
-        loftr_tpu/native)."""
+        (batched on-device RANSAC), 'native' (in-tree C++ LO-RANSAC),
+        or '5pt' (in-tree minimal 5-point hidden-variable solver)."""
         self.config = config
         self.variables = variables
         self.model = LoFTR(config.loftr)
@@ -114,16 +114,22 @@ class Evaluator:
                 metrics["n_matches"].append(int(v.sum()))
                 ident = f"{meta[b]['scene_id']}#{meta[b]['pair_id']}"
                 metrics["identifiers"].append(ident)
-                if self.pose_solver in ("opencv", "native"):
+                if self.pose_solver in ("opencv", "native", "5pt"):
                     if self.pose_solver == "opencv":
                         ret = estimate_pose_opencv(
                             kpts0[b][v], kpts1[b][v], K0[b], K1[b],
                             pixel_thr, conf)
-                    else:
+                    elif self.pose_solver == "native":
                         from loftr_tpu.native import estimate_pose_native
                         ret = estimate_pose_native(
                             kpts0[b][v], kpts1[b][v], K0[b], K1[b],
                             pixel_thr, self.num_hypotheses)
+                    else:
+                        from loftr_tpu.eval.five_point import \
+                            estimate_pose_5pt
+                        ret = estimate_pose_5pt(
+                            kpts0[b][v], kpts1[b][v], K0[b], K1[b],
+                            pixel_thr)
                     if ret is None:
                         metrics["R_errs"].append(np.inf)
                         metrics["t_errs"].append(np.inf)

@@ -102,6 +102,19 @@ class Trainer:
         return self.model.apply(
             {"params": state.params, "batch_stats": state.batch_stats}, batch)
 
+    def _val_step(self, state: TrainState, batch: MatchInput):
+        """Validation: eval-mode forward + loss on GT supervision
+        (lightning_loftr.py:135-156 semantics - loss computed on the top-K
+        predicted matches with slot masks, no GT padding)."""
+        spv = coarse_supervision(batch, self._res_c)
+        out = self._eval_step(state, batch)
+        expec_f_gt = fine_supervision(spv, out.coarse, batch,
+                                      self._res_f, self._window)
+        loss, scalars = loftr_loss(out, spv, expec_f_gt, batch,
+                                   self.config.loftr.loss,
+                                   self.config.loftr.match_coarse)
+        return out, scalars
+
     # jitted entry points -------------------------------------------------
     @partial(jax.jit, static_argnums=0)
     def train_step(self, state, batch):
@@ -110,3 +123,7 @@ class Trainer:
     @partial(jax.jit, static_argnums=0)
     def eval_step(self, state, batch):
         return self._eval_step(state, batch)
+
+    @partial(jax.jit, static_argnums=0)
+    def val_step(self, state, batch):
+        return self._val_step(state, batch)

@@ -36,7 +36,7 @@ def parse_args():
     p.add_argument("--thr", type=float, default=None,
                    help="override coarse matching threshold")
     p.add_argument("--pose-solver", default="opencv",
-                   choices=["opencv", "jax", "native"])
+                   choices=["opencv", "jax", "native", "5pt"])
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--num-workers", type=int, default=8)
     p.add_argument("--img-resize", type=int, default=840)

@@ -189,3 +189,16 @@ def test_pallas_path_equals_xla_path(match_type):
     np.testing.assert_allclose(np.asarray(got.mkpts1_f)[m],
                                np.asarray(want.mkpts1_f)[m],
                                rtol=1e-4, atol=1e-3)
+
+
+def test_trainer_val_step():
+    from loftr_tpu.train.trainer import Trainer
+    cfg = _small_cfg().replaced({"trainer": {"scheduler_interval": "step",
+                                             "warmup_step": 5}})
+    trainer = Trainer(cfg)
+    batch = _train_inputs(B=2)
+    state = trainer.init_state(jax.random.PRNGKey(0),
+                               jax.tree.map(lambda x: x[:1], batch))
+    out, scalars = trainer.val_step(state, batch)
+    assert np.isfinite(float(scalars["loss"]))
+    assert out.mkpts0_f.shape[0] == 2
