@@ -117,6 +117,19 @@ def main():
 
     from loftr_tpu.utils.logging import MetricsLogger
     logger = MetricsLogger(log_dir=os.path.join(args.ckpt_dir, "logs"))
+
+    # preemption-safe checkpointing (SURVEY.md §5.3): on SIGTERM/SIGINT save
+    # the current state before exiting so --resume continues seamlessly
+    import signal
+    preempted = {"flag": False}
+
+    def _on_signal(signum, frame):
+        preempted["flag"] = True
+        print(f"signal {signum}: checkpoint at next step boundary",
+              flush=True)
+
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
     loader = DataLoader(dataset, args.batch_size, sampler,
                         num_workers=args.num_workers)
     first = next(iter(loader))[0]
@@ -140,6 +153,13 @@ def main():
                 step = int(state.step)
                 if step % args.log_every == 0:
                     logger.log(step, scalars, epoch=epoch)
+                if preempted["flag"]:
+                    if rank == 0:
+                        mgr.save(int(state.step), jax.device_get(state))
+                        print("preemption checkpoint saved; exiting")
+                    mgr.close()
+                    logger.close()
+                    return
             metrics = {}
             if args.val_npz_path:
                 from loftr_tpu.data import ScanNetDataset
