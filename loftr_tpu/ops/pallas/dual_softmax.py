@@ -17,9 +17,10 @@ recomputing the sim tile from the (VMEM-resident) feature matrices each time
   epilogue (plain JAX, [L]-sized): thr/border/MNN checks
           (valid iff best_val > thr and best_val == colconfmax[best_j]).
 
-Geometric padding (rows >= L, cols >= S) is excluded with in-kernel iota
-comparisons; an explicit [L, S] bias array exists ONLY when MegaDepth-style
-validity masks are given.
+Validity (MegaDepth padding masks) and geometric padding are handled with
+per-row/per-column mask VECTORS whose outer product is applied in-kernel -
+no [L, S] bias array exists in any path (critical for VMEM at 840x840,
+where a [128, 11136] fp32 bias tile alone would blow the 16MB budget).
 
 Outputs feed the same CandidateMatches/top-K machinery as the XLA path,
 which remains the oracle (tested in tests/test_pallas_match.py).
@@ -37,30 +38,15 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e9
 
 
-def _pad_bias(tile_l: int, Sp: int, L: int, S: int):
-    """In-kernel additive bias masking padded rows/cols of the current tile."""
+def _stats_kernel(f0_ref, f1_ref, m0_ref, m1_ref,
+                  rowmax_ref, rowsum_ref, colmax_ref, colsum_ref):
+    """Pass 1. f0 [TL,C] row tile; f1 [Sp,C] resident; m0 [TL,1], m1 [1,Sp]
+    validity vectors (0/1 incl. geometric padding).  Row stats per tile;
+    column stats flash-accumulated across the sequential grid."""
     i = pl.program_id(0)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_l, 1), 0) + \
-        i * tile_l
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, Sp), 1)
-    bias = jnp.where(row_ids < L, 0.0, NEG) + \
-        jnp.where(col_ids < S, 0.0, NEG)
-    return bias.astype(jnp.float32)
-
-
-def _stats_kernel(tile_l, L, S, masked, *refs):
-    """Pass 1. refs: f0 [TL,C], f1 [Sp,C], (bias [TL,Sp] if masked),
-    rowmax, rowsum [TL,1], colmax, colsum [1,Sp] (accumulated)."""
-    if masked:
-        f0_ref, f1_ref, bias_ref, rowmax_ref, rowsum_ref, colmax_ref, \
-            colsum_ref = refs
-    else:
-        f0_ref, f1_ref, rowmax_ref, rowsum_ref, colmax_ref, colsum_ref = refs
-    i = pl.program_id(0)
-    Sp = f1_ref.shape[0]
     sim = jnp.dot(f0_ref[:], f1_ref[:].T,
                   preferred_element_type=jnp.float32)
-    sim = sim + (bias_ref[:] if masked else _pad_bias(tile_l, Sp, L, S))
+    sim = sim + (m0_ref[:] * m1_ref[:] - 1.0) * (-NEG)
     rmax = jnp.max(sim, axis=1, keepdims=True)
     rowmax_ref[:] = rmax
     rowsum_ref[:] = jnp.sum(jnp.exp(sim - rmax), axis=1, keepdims=True)
@@ -82,19 +68,14 @@ def _stats_kernel(tile_l, L, S, masked, *refs):
         colmax_ref[:] = new_max
 
 
-def _best_kernel(tile_l, L, S, masked, *refs):
+def _best_kernel(f0_ref, f1_ref, m0_ref, m1_ref, rowmax_ref, rowsum_ref,
+                 colmax_ref, colsum_ref,
+                 best_val_ref, best_j_ref, colconf_ref):
     """Pass 2: conf tile on the fly; row best + accumulated column conf max."""
-    if masked:
-        f0_ref, f1_ref, bias_ref, rowmax_ref, rowsum_ref, colmax_ref, \
-            colsum_ref, best_val_ref, best_j_ref, colconf_ref = refs
-    else:
-        f0_ref, f1_ref, rowmax_ref, rowsum_ref, colmax_ref, colsum_ref, \
-            best_val_ref, best_j_ref, colconf_ref = refs
     i = pl.program_id(0)
-    Sp = f1_ref.shape[0]
     sim = jnp.dot(f0_ref[:], f1_ref[:].T,
                   preferred_element_type=jnp.float32)
-    sim = sim + (bias_ref[:] if masked else _pad_bias(tile_l, Sp, L, S))
+    sim = sim + (m0_ref[:] * m1_ref[:] - 1.0) * (-NEG)
     row_sm = jnp.exp(sim - rowmax_ref[:]) / rowsum_ref[:]
     col_sm = jnp.exp(sim - colmax_ref[:]) / colsum_ref[:]
     conf = row_sm * col_sm
@@ -120,6 +101,17 @@ def _pad_to(x, n, axis, value=0.0):
     widths = [(0, 0)] * x.ndim
     widths[axis] = (0, pad)
     return jnp.pad(x, widths, constant_values=value)
+
+
+def make_mask_vectors(L, S, Lp, Sp, mask0, mask1):
+    """[Lp,1], [1,Sp] fp32 validity vectors folding padding + user masks."""
+    m0 = jnp.ones((L,), jnp.float32) if mask0 is None else \
+        mask0.astype(jnp.float32)
+    m1 = jnp.ones((S,), jnp.float32) if mask1 is None else \
+        mask1.astype(jnp.float32)
+    m0 = _pad_to(m0, Lp, 0, value=0.0)
+    m1 = _pad_to(m1, Sp, 0, value=0.0)
+    return m0[:, None], m1[None, :]
 
 
 @functools.partial(jax.jit,
@@ -150,36 +142,26 @@ def fused_dual_softmax_match(feat0: jax.Array, feat1: jax.Array,
     Sp = (S + 127) // 128 * 128
     f0 = _pad_to(f0, Lp, 0)
     f1 = _pad_to(f1, Sp, 0)
-    masked = mask0 is not None or mask1 is not None
+    m0v, m1v = make_mask_vectors(L, S, Lp, Sp, mask0, mask1)
 
     grid = (Lp // tile_l,)
     row_spec = pl.BlockSpec((tile_l, f0.shape[1]), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full_spec = pl.BlockSpec((Sp, f1.shape[1]), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
-    bias_spec = pl.BlockSpec((tile_l, Sp), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
+    m0_spec = pl.BlockSpec((tile_l, 1), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    m1_spec = pl.BlockSpec((1, Sp), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
     rowout_spec = pl.BlockSpec((tile_l, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)
     colout_spec = pl.BlockSpec((1, Sp), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)
 
-    inputs = [f0, f1]
-    in_specs = [row_spec, full_spec]
-    if masked:
-        m0 = jnp.ones((L,), bool) if mask0 is None else mask0.astype(bool)
-        m1 = jnp.ones((S,), bool) if mask1 is None else mask1.astype(bool)
-        m0 = _pad_to(m0, Lp, 0, value=False)
-        m1 = _pad_to(m1, Sp, 0, value=False)
-        bias = jnp.where(m0[:, None] & m1[None, :], 0.0,
-                         NEG).astype(jnp.float32)
-        inputs.append(bias)
-        in_specs.append(bias_spec)
-
     rowmax, rowsum, colmax, colsum = pl.pallas_call(
-        functools.partial(_stats_kernel, tile_l, L, S, masked),
+        _stats_kernel,
         grid=grid,
-        in_specs=in_specs,
+        in_specs=[row_spec, full_spec, m0_spec, m1_spec],
         out_specs=(rowout_spec, rowout_spec, colout_spec, colout_spec),
         out_shape=(
             jax.ShapeDtypeStruct((Lp, 1), jnp.float32),
@@ -188,13 +170,13 @@ def fused_dual_softmax_match(feat0: jax.Array, feat1: jax.Array,
             jax.ShapeDtypeStruct((1, Sp), jnp.float32),
         ),
         interpret=interpret,
-    )(*inputs)
+    )(f0, f1, m0v, m1v)
 
     best_val, best_j, colconf = pl.pallas_call(
-        functools.partial(_best_kernel, tile_l, L, S, masked),
+        _best_kernel,
         grid=grid,
-        in_specs=in_specs + [rowout_spec, rowout_spec, colout_spec,
-                             colout_spec],
+        in_specs=[row_spec, full_spec, m0_spec, m1_spec, rowout_spec,
+                  rowout_spec, colout_spec, colout_spec],
         out_specs=(rowout_spec,
                    pl.BlockSpec((tile_l, 1), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM),
@@ -205,7 +187,7 @@ def fused_dual_softmax_match(feat0: jax.Array, feat1: jax.Array,
             jax.ShapeDtypeStruct((1, Sp), jnp.float32),
         ),
         interpret=interpret,
-    )(*inputs, rowmax, rowsum, colmax, colsum)
+    )(f0, f1, m0v, m1v, rowmax, rowsum, colmax, colsum)
 
     return (best_val[:L, 0], best_j[:L, 0],
             colconf[0, :S])

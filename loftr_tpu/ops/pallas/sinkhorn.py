@@ -31,10 +31,12 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e9
 
 
-def _u_kernel(f0_ref, f1_ref, bias_ref, v_ref, scal_ref,
+def _u_kernel(f0_ref, f1_ref, m0_ref, m1_ref, v_ref, scal_ref,
               u_ref, colmax_ref, colsum_ref):
     """One Sinkhorn half-iteration over a row tile.
 
+    m0_ref [TL,1] / m1_ref [1,Sp]: validity vectors (outer product = pair
+    mask; no [L,S] bias array - VMEM budget at 840x840).
     scal_ref (SMEM [3]): [alpha + v_bin, log_mu (=-log(L+S)), pad].
     v_ref: [1, Sp] current column potentials.
     Outputs: u (new, per row), flash-accumulated colmax/colsum of
@@ -42,7 +44,8 @@ def _u_kernel(f0_ref, f1_ref, bias_ref, v_ref, scal_ref,
     """
     i = pl.program_id(0)
     sim = jnp.dot(f0_ref[:], f1_ref[:].T,
-                  preferred_element_type=jnp.float32) + bias_ref[:]
+                  preferred_element_type=jnp.float32)
+    sim = sim + (m0_ref[:] * m1_ref[:] - 1.0) * (-NEG)
     av_bin = scal_ref[0]
     log_mu = scal_ref[1]
 
@@ -71,7 +74,7 @@ def _u_kernel(f0_ref, f1_ref, bias_ref, v_ref, scal_ref,
         colmax_ref[:] = new
 
 
-def _ot_best_kernel(f0_ref, f1_ref, bias_ref, u_ref, v_ref, scal_ref,
+def _ot_best_kernel(f0_ref, f1_ref, m0_ref, m1_ref, u_ref, v_ref, scal_ref,
                     best_val_ref, best_j_ref, colconf_ref, rowlog_ref,
                     collog_ref):
     """Final pass: conf = exp(sim + u + v + log(L+S)) on the fly.
@@ -82,7 +85,8 @@ def _ot_best_kernel(f0_ref, f1_ref, bias_ref, u_ref, v_ref, scal_ref,
     dustbin prefilter comparisons)."""
     i = pl.program_id(0)
     sim = jnp.dot(f0_ref[:], f1_ref[:].T,
-                  preferred_element_type=jnp.float32) + bias_ref[:]
+                  preferred_element_type=jnp.float32)
+    sim = sim + (m0_ref[:] * m1_ref[:] - 1.0) * (-NEG)
     logits = sim + u_ref[:] + v_ref[:] + scal_ref[0]
     conf = jnp.exp(logits)
 
@@ -141,11 +145,8 @@ def fused_sinkhorn_match(feat0: jax.Array, feat1: jax.Array,
     Sp = (S + 127) // 128 * 128
     f0 = _pad_to(f0, Lp, 0)
     f1 = _pad_to(f1, Sp, 0)
-    m0 = jnp.ones((L,), bool) if mask0 is None else mask0.astype(bool)
-    m1 = jnp.ones((S,), bool) if mask1 is None else mask1.astype(bool)
-    m0p = _pad_to(m0, Lp, 0, value=False)
-    m1p = _pad_to(m1, Sp, 0, value=False)
-    bias = jnp.where(m0p[:, None] & m1p[None, :], 0.0, NEG).astype(f32)
+    from loftr_tpu.ops.pallas.dual_softmax import make_mask_vectors
+    m0v, m1v = make_mask_vectors(L, S, Lp, Sp, mask0, mask1)
     # geometric padding vs mask-invalid: the dustbin row/column spans ALL
     # real rows/cols (bins are alpha regardless of the pair mask,
     # coarse_matching.py:121-131), so only j >= S / i >= L are excluded
@@ -163,8 +164,8 @@ def fused_sinkhorn_match(feat0: jax.Array, feat1: jax.Array,
                             memory_space=pltpu.VMEM)
     full_spec = pl.BlockSpec((Sp, f1.shape[1]), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
-    bias_spec = pl.BlockSpec((tile_l, Sp), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
+    m0_spec = pl.BlockSpec((tile_l, 1), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
     rowout_spec = pl.BlockSpec((tile_l, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)
     colin_spec = pl.BlockSpec((1, Sp), lambda i: (0, 0),
@@ -187,14 +188,14 @@ def fused_sinkhorn_match(feat0: jax.Array, feat1: jax.Array,
         u, colmax, colsum = pl.pallas_call(
             _u_kernel,
             grid=grid,
-            in_specs=[row_spec, full_spec, bias_spec, colin_spec,
+            in_specs=[row_spec, full_spec, m0_spec, colin_spec, colin_spec,
                       pl.BlockSpec(memory_space=pltpu.SMEM)],
             out_specs=(rowout_spec, colin_spec, colin_spec),
             out_shape=(jax.ShapeDtypeStruct((Lp, 1), f32),
                        jax.ShapeDtypeStruct((1, Sp), f32),
                        jax.ShapeDtypeStruct((1, Sp), f32)),
             interpret=interpret,
-        )(f0, f1, bias, v, scal)
+        )(f0, f1, m0v, m1v, v, scal)
         # v update from new u: per real column, lse over rows + dustbin row
         col_lse = colmax[0] + jnp.log(jnp.maximum(colsum[0], 1e-38))
         col_total = jnp.logaddexp(col_lse, alpha + u_bin)
@@ -208,8 +209,8 @@ def fused_sinkhorn_match(feat0: jax.Array, feat1: jax.Array,
     best_val, best_j, colconf, rowlog, collog = pl.pallas_call(
         _ot_best_kernel,
         grid=grid,
-        in_specs=[row_spec, full_spec, bias_spec, rowout_spec, colin_spec,
-                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        in_specs=[row_spec, full_spec, m0_spec, colin_spec, rowout_spec,
+                  colin_spec, pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(rowout_spec,
                    pl.BlockSpec((tile_l, 1), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM),
@@ -220,7 +221,7 @@ def fused_sinkhorn_match(feat0: jax.Array, feat1: jax.Array,
                    jax.ShapeDtypeStruct((Lp, 1), f32),
                    jax.ShapeDtypeStruct((1, Sp), f32)),
         interpret=interpret,
-    )(f0, f1, bias, u, v, scal2)
+    )(f0, f1, m0v, m1v, u, v, scal2)
 
     # prefilter: row/col argmax of the assignment (incl. dustbin) is the bin
     prefilter0 = (alpha + v_bin) > rowlog[:L, 0]
