@@ -56,24 +56,61 @@ def _project(R, t, X):
     return Xc[..., :2] / z, Xc
 
 
-def reprojection_cost(prob: BAProblem) -> jax.Array:
-    """Weighted squared reprojection error (normalized coords)."""
+def reprojection_cost(prob: BAProblem, huber_delta: float = 0.0,
+                      kernel: str = "huber") -> jax.Array:
+    """Weighted reprojection cost: squared error, or the Huber objective
+    when huber_delta > 0 (the LM loop must optimize the same objective the
+    IRLS weights linearize)."""
     R = prob.R[prob.obs_cam]          # [P, O, 3, 3]
     t = prob.t[prob.obs_cam]          # [P, O, 3]
     pred, _ = _project(R, t, prob.points[:, None, :])
     r = (pred - prob.obs_uv) * prob.obs_w[..., None]
-    return jnp.sum(r ** 2)
+    r2 = jnp.sum(r ** 2, axis=-1)     # [P, O]
+    if huber_delta > 0:
+        rn = jnp.sqrt(jnp.maximum(r2, 1e-18))
+        if kernel == "tukey":
+            c2 = huber_delta ** 2
+            u2 = jnp.clip(r2 / c2, 0.0, 1.0)
+            return jnp.sum(c2 / 6 * (1 - (1 - u2) ** 3)) * 6
+        return jnp.sum(jnp.where(
+            rn <= huber_delta, r2,
+            2 * huber_delta * rn - huber_delta ** 2))
+    return jnp.sum(r2)
 
 
-def _linearize(prob: BAProblem):
+def _huber_weight(r2: jax.Array, delta: float) -> jax.Array:
+    """IRLS weight sqrt(w) for the Huber kernel on squared residual r2."""
+    rn = jnp.sqrt(jnp.maximum(r2, 1e-18))
+    return jnp.sqrt(jnp.where(rn <= delta, 1.0, delta / rn))
+
+
+def _tukey_weight(r2: jax.Array, c: float) -> jax.Array:
+    """IRLS weight sqrt(w) for the Tukey biweight (redescending: residuals
+    beyond c are fully rejected)."""
+    rn = jnp.sqrt(jnp.maximum(r2, 1e-18))
+    u = jnp.clip(rn / c, 0.0, 1.0)
+    return (1.0 - u ** 2)  # sqrt of (1-u^2)^2
+
+
+def _linearize(prob: BAProblem, huber_delta: float = 0.0,
+               kernel: str = "huber"):
     """Per-observation residuals + Jacobians.
 
+    huber_delta > 0 applies IRLS robust downweighting on the
+    per-observation residual norm (normalized-coordinate units);
+    kernel: 'huber' (bounded influence) or 'tukey' (redescending -
+    residuals beyond the scale are fully rejected).
     Returns r [P,O,2], J_c [P,O,2,6], J_p [P,O,2,3].
     """
     R = prob.R[prob.obs_cam]
     t = prob.t[prob.obs_cam]
     pred, Xc = _project(R, t, prob.points[:, None, :])
     w = prob.obs_w[..., None]
+    if huber_delta > 0:
+        r_plain = (pred - prob.obs_uv) * w
+        r2 = jnp.sum(r_plain ** 2, axis=-1, keepdims=True)
+        fn = _tukey_weight if kernel == "tukey" else _huber_weight
+        w = w * fn(r2, huber_delta)
     r = (pred - prob.obs_uv) * w
 
     z = jnp.maximum(Xc[..., 2], 1e-6)
@@ -94,9 +131,10 @@ def _linearize(prob: BAProblem):
     return r, J_c, J_p
 
 
-def _build_normal_terms(prob: BAProblem, lm_lambda):
+def _build_normal_terms(prob: BAProblem, lm_lambda, huber_delta=0.0,
+                        kernel="huber"):
     """All per-point/per-camera normal-equation pieces."""
-    r, J_c, J_p = _linearize(prob)
+    r, J_c, J_p = _linearize(prob, huber_delta, kernel)
     C = prob.n_cams
 
     # camera blocks
@@ -180,29 +218,37 @@ def _apply_update(prob: BAProblem, delta_c, delta_p):
     return prob.replace(R=R_new, t=t_new, points=prob.points + delta_p)
 
 
-@jax.jit
-def ba_iteration(prob: BAProblem, lm_lambda
+@partial(jax.jit, static_argnames=("huber_delta", "kernel"))
+def ba_iteration(prob: BAProblem, lm_lambda, huber_delta: float = 0.0,
+                 kernel: str = "huber"
                  ) -> Tuple[BAProblem, jax.Array, jax.Array]:
-    """One damped Gauss-Newton (LM) step.
+    """One damped Gauss-Newton (LM) step (optionally robust).
 
     Returns (candidate problem, old cost, new cost)."""
-    r, Hcc, b_c, Hpp_inv, b_p, A = _build_normal_terms(prob, lm_lambda)
+    r, Hcc, b_c, Hpp_inv, b_p, A = _build_normal_terms(prob, lm_lambda,
+                                                       huber_delta, kernel)
     S, rhs = _schur_reduce(prob, Hcc, b_c, Hpp_inv, b_p, A, lm_lambda)
     delta_c = _solve_cameras(prob, S, rhs)
     delta_p = _back_substitute(prob, Hpp_inv, b_p, A, delta_c)
     new_prob = _apply_update(prob, delta_c, delta_p)
-    return new_prob, jnp.sum(r ** 2), reprojection_cost(new_prob)
+    return (new_prob, reprojection_cost(prob, huber_delta, kernel),
+            reprojection_cost(new_prob, huber_delta, kernel))
 
 
 def bundle_adjust(prob: BAProblem, max_iters: int = 20,
                   lm_lambda0: float = 1e-4,
-                  tol: float = 1e-10, verbose: bool = False
+                  tol: float = 1e-10, verbose: bool = False,
+                  huber_delta: float = 0.0, kernel: str = "huber"
                   ) -> Tuple[BAProblem, float]:
-    """Host-controlled LM loop; one device program per iteration."""
+    """Host-controlled LM loop; one device program per iteration.
+
+    huber_delta > 0 enables the robust kernel (units: normalized camera
+    coords; e.g. 3px at f=500 -> 0.006); kernel 'huber' or 'tukey'."""
     lam = lm_lambda0
-    cost = float(reprojection_cost(prob))
+    cost = float(reprojection_cost(prob, huber_delta, kernel))
     for it in range(max_iters):
-        cand, old_cost, new_cost = ba_iteration(prob, jnp.asarray(lam))
+        cand, old_cost, new_cost = ba_iteration(prob, jnp.asarray(lam),
+                                                huber_delta, kernel)
         new_cost = float(new_cost)
         if verbose:
             print(f"BA iter {it}: cost {cost:.6e} -> {new_cost:.6e} "

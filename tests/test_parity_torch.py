@@ -215,3 +215,122 @@ def test_coarse_matching_parity(refmods):
     got_k0 = {tuple(map(float, p))
               for p, ok in zip(np.asarray(k0)[0], mask) if ok}
     assert got_k0 == ref_k0
+
+
+def test_full_pipeline_parity_through_fine_stage(refmods):
+    """Compose the reference's own torch modules (backbone -> PE -> coarse
+    transformer -> coarse matching -> fine preprocess -> fine transformer)
+    with random weights and compare against our full matcher with the
+    converted weights on a REAL image pair.  Covers stages [1]-[6]; stage
+    [7] (soft-argmax) is pure math tested elsewhere."""
+    import os
+    import cv2
+    import torch.nn.functional as TF
+    import jax
+    from loftr_tpu import LoFTR, MatchInput, get_config
+    from loftr_tpu.utils.weights import convert_torch_state_dict
+
+    fp_mod = _load("refpkg.fine_preprocess",
+                   REF + "/loftr_module/fine_preprocess.py")
+    pe_mod = refmods["pos_enc"]
+
+    torch.manual_seed(3)
+    dims = dict(initial_dim=16, block_dims=[16, 24, 32])
+    bb = refmods["resnet_fpn"].ResNetFPN_8_2(
+        {"initial_dim": 16, "block_dims": [16, 24, 32]})
+    pe = pe_mod.PositionEncodingSine(32, temp_bug_fix=True)
+    coarse = refmods["transformer"].LocalFeatureTransformer(
+        {"d_model": 32, "nhead": 4, "layer_names": ["self", "cross"],
+         "attention": "linear"})
+    fine = refmods["transformer"].LocalFeatureTransformer(
+        {"d_model": 16, "nhead": 2, "layer_names": ["self", "cross"],
+         "attention": "linear"})
+    fpre = fp_mod.FinePreprocess(
+        {"fine_concat_coarse_feat": True, "fine_window_size": 5,
+         "coarse": {"d_model": 32}, "fine": {"d_model": 16}})
+    for mod in (bb, coarse, fine, fpre):
+        mod.eval()
+
+    state = {}
+    for prefix, mod in [("backbone", bb), ("loftr_coarse", coarse),
+                        ("loftr_fine", fine), ("fine_preprocess", fpre)]:
+        for k, v in mod.state_dict().items():
+            state[f"{prefix}.{k}"] = v.detach().numpy()
+    variables = convert_torch_state_dict(state)
+
+    SAMPLES = "/root/reference/assets/scannet_sample_images"
+    g = lambda n: cv2.resize(
+        cv2.imread(os.path.join(SAMPLES, n), cv2.IMREAD_GRAYSCALE),
+        (128, 96)).astype(np.float32) / 255.0
+    img0 = g("scene0711_00_frame-001680.jpg")
+    img1 = g("scene0711_00_frame-001995.jpg")
+
+    # ---------------- reference pipeline (loftr.py:29-75 composition)
+    with torch.no_grad():
+        timg = torch.from_numpy(np.stack([img0, img1]))[:, None]
+        feat_c, feat_f = bb(timg)
+        fc = pe(feat_c)
+        h0c, w0c = fc.shape[2], fc.shape[3]
+        fc = fc.flatten(2).transpose(1, 2)  # [2, L, C]
+        fc0, fc1 = fc[:1], fc[1:]
+        fc0, fc1 = coarse(fc0, fc1)
+        # coarse matching (dual softmax, thr low so matches exist)
+        cm = refmods["coarse_matching"].CoarseMatching({
+            "thr": 1e-6, "border_rm": 0, "match_type": "dual_softmax",
+            "dsmax_temperature": 0.1, "train_coarse_percent": 0.2,
+            "train_pad_num_gt_min": 20, "sparse_spvs": False,
+            "skh_iters": 3, "skh_init_bin_score": 1.0,
+            "skh_prefilter": False})
+        cm.eval()
+        data = {"hw0_i": (96, 128), "hw1_i": (96, 128),
+                "hw0_c": (h0c, w0c), "hw1_c": (h0c, w0c),
+                "hw0_f": (48, 64), "hw1_f": (48, 64)}
+        cm(fc0, fc1, data)
+        w0, w1 = fpre(feat_f[:1], feat_f[1:], fc0, fc1, data)
+        rf0, rf1 = fine(w0, w1)
+
+    ref_pairs = {(int(i), int(j)) for i, j in
+                 zip(data["i_ids"].numpy(), data["j_ids"].numpy())}
+    assert len(ref_pairs) >= 3, "need a non-trivial match set"
+
+    # ---------------- our pipeline with the converted weights
+    cfg = get_config("default").replaced({"loftr": {
+        "backbone": {"initial_dim": 16, "block_dims": (16, 24, 32)},
+        "coarse": {"d_model": 32, "nhead": 4,
+                   "layer_names": ("self", "cross")},
+        "fine": {"d_model": 16, "nhead": 2, "layer_names": ("self", "cross")},
+        "match_coarse": {"thr": 1e-6, "border_rm": 0,
+                         "max_matches": 192}}})
+    model = LoFTR(cfg.loftr)
+    inp = MatchInput(image0=jnp.asarray(img0)[None, :, :, None],
+                     image1=jnp.asarray(img1)[None, :, :, None])
+    out = model.apply({"params": variables["params"],
+                       "batch_stats": variables["batch_stats"]}, inp)
+    v = np.asarray(out.valid)[0]
+    got_pairs = {(int(i), int(j)) for i, j in
+                 zip(np.asarray(out.coarse.i_ids)[0][v],
+                     np.asarray(out.coarse.j_ids)[0][v])}
+    assert got_pairs == ref_pairs, (len(got_pairs), len(ref_pairs),
+                                    got_pairs ^ ref_pairs)
+
+    # fine-stage features: compare our per-slot windows to the reference's
+    # (reference orders by its own match list; build an index)
+    ref_order = {pair: k for k, (i, j) in enumerate(
+        zip(data["i_ids"].numpy(), data["j_ids"].numpy()))
+        for pair in [(int(i), int(j))]}
+    # re-run our model capturing fine features via expec_f equivalence:
+    # instead compare expec_f against reference fine features run through
+    # our soft-argmax math
+    from loftr_tpu.ops.fine_match import fine_match
+    rf0n = rf0.numpy()[None]  # [1, M, 25, 16]
+    rf1n = rf1.numpy()[None]
+    ref_expec = np.asarray(fine_match(jnp.asarray(rf0n), jnp.asarray(rf1n)))
+    got_expec = np.asarray(out.expec_f)[0]
+    ii = np.asarray(out.coarse.i_ids)[0]
+    jj = np.asarray(out.coarse.j_ids)[0]
+    for k in range(len(v)):
+        if not v[k]:
+            continue
+        rk = ref_order[(int(ii[k]), int(jj[k]))]
+        np.testing.assert_allclose(got_expec[k], ref_expec[0, rk],
+                                   rtol=1e-3, atol=1e-4)

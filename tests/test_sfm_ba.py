@@ -181,3 +181,35 @@ def test_sharded_ba_full_loop():
         obs_w=jax.device_put(prob.obs_w, shard))
     solved, cost = bundle_adjust_sharded(sharded, mesh, max_iters=15)
     assert cost < cost0 * 1e-6
+
+
+def test_huber_ba_resists_gross_outliers():
+    """Plant gross outlier observations with weight 1: Huber BA stays near
+    GT while plain L2 BA is dragged off."""
+    prob, R_gt, t_gt, _ = _synth_ba_problem(
+        C=6, P=120, O=4, noise=1e-4, pose_noise=0.01, point_noise=0.02,
+        seed=7)
+    obs_uv = np.array(prob.obs_uv)
+    rngo = np.random.RandomState(7)
+    for p in rngo.choice(120, 15, replace=False):  # corrupt 15 observations
+        obs_uv[p, 0] += rngo.randn(2) * 0.3  # huge (0.3 normalized ~ 150px)
+    prob = prob.replace(obs_uv=jnp.asarray(obs_uv))
+
+    l2_solved, _ = bundle_adjust(prob, max_iters=20)
+    # annealed robust schedule: Huber to find the basin, then the
+    # redescending Tukey kernel to fully reject the gross outliers
+    # (delta in normalized units; 0.002 ~ 1px at f=500)
+    rob = prob
+    rob, _ = bundle_adjust(rob, max_iters=10, huber_delta=0.02)
+    rob, _ = bundle_adjust(rob, max_iters=10, huber_delta=0.005)
+    rob, _ = bundle_adjust(rob, max_iters=15, huber_delta=0.002,
+                           kernel="tukey")
+
+    gt_centers = camera_centers(R_gt, t_gt)
+    ate_l2 = absolute_trajectory_error(
+        camera_centers(np.asarray(l2_solved.R), np.asarray(l2_solved.t)),
+        gt_centers)
+    ate_rob = absolute_trajectory_error(
+        camera_centers(np.asarray(rob.R), np.asarray(rob.t)), gt_centers)
+    assert ate_rob["ate_rmse"] < 0.02, ate_rob
+    assert ate_rob["ate_rmse"] < ate_l2["ate_rmse"] / 10, (ate_rob, ate_l2)
