@@ -161,9 +161,13 @@ def run_sfm(n_frames: int, match_fn: Callable, K: np.ndarray,
             depths: Optional[Sequence[np.ndarray]] = None,
             keyframe_stride: int = 5, link_range: int = 2,
             ba_iters: int = 15, rng: Optional[jax.Array] = None,
-            adaptive_keyframes: bool = False, min_matches_kf: int = 300):
+            adaptive_keyframes: bool = False, min_matches_kf: int = 300,
+            huber_delta: float = 0.002):
     """Full pipeline.  Returns dict with keyframes, poses (R, t world->cam),
-    edges, BA cost, and the solved BAProblem (or None)."""
+    edges, BA cost, and the solved BAProblem (or None).
+
+    huber_delta > 0 runs an annealed robust BA schedule (Huber basin search
+    then Tukey rejection) - the right default for real matcher output."""
     if adaptive_keyframes:
         kfs = select_keyframes_adaptive(n_frames, match_fn,
                                         min_matches=min_matches_kf)
@@ -175,7 +179,16 @@ def run_sfm(n_frames: int, match_fn: Callable, K: np.ndarray,
     prob = build_ba_problem(len(kfs), edges, K, R_w, t_w)
     cost = None
     if prob is not None:
-        prob, cost = bundle_adjust(prob, max_iters=ba_iters)
+        if huber_delta > 0:
+            prob, _ = bundle_adjust(prob, max_iters=ba_iters,
+                                    huber_delta=huber_delta * 10)
+            prob, _ = bundle_adjust(prob, max_iters=ba_iters,
+                                    huber_delta=huber_delta * 2.5)
+            prob, cost = bundle_adjust(prob, max_iters=ba_iters,
+                                       huber_delta=huber_delta,
+                                       kernel="tukey")
+        else:
+            prob, cost = bundle_adjust(prob, max_iters=ba_iters)
         R_w = np.asarray(prob.R, np.float64)
         t_w = np.asarray(prob.t, np.float64)
     return {
