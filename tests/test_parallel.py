@@ -105,3 +105,47 @@ def test_train_step_grad_matches_across_shardings():
     for a, b in zip(l1, l8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_tensor_parallel_param_sharding():
+    """Optional TP: Dense kernels sharded over a 'model' axis; GSPMD inserts
+    the collectives and results match the replicated run (SURVEY §2.5 TP
+    row)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from loftr_tpu import LoFTR, MatchInput, get_config
+    from loftr_tpu.parallel.mesh import make_mesh
+
+    cfg = get_config("default").replaced({"loftr": {
+        "backbone": {"initial_dim": 8, "block_dims": (8, 12, 16)},
+        "coarse": {"d_model": 16, "nhead": 2,
+                   "layer_names": ("self", "cross")},
+        "fine": {"d_model": 8, "nhead": 2, "layer_names": ("self", "cross")},
+        "match_coarse": {"max_matches": 8}}})
+    model = LoFTR(cfg.loftr)
+    rng = np.random.RandomState(0)
+    inp = MatchInput(image0=jnp.asarray(rng.rand(2, 32, 32, 1), jnp.float32),
+                     image1=jnp.asarray(rng.rand(2, 32, 32, 1), jnp.float32))
+    variables = model.init(jax.random.PRNGKey(0), inp)
+    want = model.apply(variables, inp)
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    with jax.set_mesh(mesh):
+        def place(path, x):
+            name = "/".join(str(p.key) for p in path
+                            if hasattr(p, "key"))
+            if x.ndim == 2 and "loftr_coarse" in name and x.shape[-1] % 4 == 0:
+                return jax.device_put(x, NamedSharding(mesh, P(None, "model")))
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        sharded_params = jax.tree_util.tree_map_with_path(
+            place, variables["params"])
+        sharded = {"params": sharded_params,
+                   "batch_stats": jax.tree.map(
+                       lambda x: jax.device_put(
+                           x, NamedSharding(mesh, P())),
+                       variables["batch_stats"])}
+        got = jax.jit(lambda v, i: model.apply(v, i))(sharded, inp)
+    np.testing.assert_array_equal(np.asarray(got.coarse.i_ids),
+                                  np.asarray(want.coarse.i_ids))
+    np.testing.assert_allclose(np.asarray(got.mkpts1_f),
+                               np.asarray(want.mkpts1_f),
+                               rtol=1e-4, atol=1e-3)
