@@ -101,6 +101,9 @@ class LossConfig:
     fine_type: str = "l2_with_std"  # ['l2_with_std', 'l2']
     fine_weight: float = 1.0
     fine_correct_thr: float = 1.0
+    # fused Pallas coarse loss (training): requires dual_softmax + dense
+    # supervision + focal; the [B,L,S] conf matrix is never materialized
+    use_pallas: bool = False
 
 
 @dataclass(frozen=True)

@@ -129,17 +129,52 @@ def fine_loss(expec_f: jax.Array, expec_f_gt: jax.Array, cfg: LossConfig,
     return _masked_mean(offset_l2 * weight, correct)
 
 
+def _fused_coarse_loss(result: MatchResult, spv: Supervision,
+                       inp: MatchInput, cfg: LossConfig,
+                       mc: MatchCoarseConfig) -> jax.Array:
+    """Batch dense focal loss via the fused Pallas kernel - never
+    materializes [B, L, S]; batch-global mean denominators match
+    coarse_loss exactly."""
+    from loftr_tpu.ops.pallas.focal_loss import fused_focal_sums
+    f0, f1 = result.feat_c0, result.feat_c1
+    B, L, _ = f0.shape
+    S = f1.shape[1]
+    m0 = None if inp.mask0 is None else inp.mask0.reshape(B, L)
+    m1 = None if inp.mask1 is None else inp.mask1.reshape(B, S)
+    fn = lambda a, b, gj, gv, ma, mb: fused_focal_sums(
+        a, b, mc.dsmax_temperature, gj, gv, ma, mb,
+        cfg.focal_alpha, cfg.focal_gamma)
+    if m0 is None:
+        p, n = jax.vmap(lambda a, b, gj, gv: fn(a, b, gj, gv, None, None))(
+            f0, f1, spv.gt_j, spv.gt_valid)
+    else:
+        p, n = jax.vmap(fn)(f0, f1, spv.gt_j, spv.gt_valid, m0, m1)
+    n_pos = jnp.sum(spv.gt_valid)
+    n_neg = B * L * S - n_pos
+    mean_pos = jnp.where(n_pos > 0,
+                         jnp.sum(p) / jnp.maximum(n_pos, 1), 0.0)
+    mean_neg = jnp.where(n_neg > 0,
+                         jnp.sum(n) / jnp.maximum(n_neg, 1), 0.0)
+    return cfg.pos_weight * mean_pos + cfg.neg_weight * mean_neg
+
+
 def loftr_loss(result: MatchResult, spv: Supervision, expec_f_gt: jax.Array,
                inp: MatchInput, cfg: LossConfig, mc: MatchCoarseConfig):
     """Total loss (loftr_loss.py:161-192).
 
     Returns (loss, scalars dict)."""
-    S = result.conf_matrix.shape[2]
-    conf_gt = spv.conf_matrix_gt(S)
-    c_weight = compute_c_weight(inp)
-    loss_c = coarse_loss(result.conf_matrix, conf_gt, cfg, mc,
-                         weight=c_weight,
-                         conf_with_bin=result.conf_matrix_with_bin)
+    if result.conf_matrix is None:
+        assert result.feat_c0 is not None, \
+            "no conf matrix and no coarse features - fused loss needs the " \
+            "matcher's fused_train path"
+        loss_c = _fused_coarse_loss(result, spv, inp, cfg, mc)
+    else:
+        S = result.conf_matrix.shape[2]
+        conf_gt = spv.conf_matrix_gt(S)
+        c_weight = compute_c_weight(inp)
+        loss_c = coarse_loss(result.conf_matrix, conf_gt, cfg, mc,
+                             weight=c_weight,
+                             conf_with_bin=result.conf_matrix_with_bin)
     loss_f = fine_loss(result.expec_f, expec_f_gt, cfg,
                        slot_mask=result.coarse.mask)
     loss = cfg.coarse_weight * loss_c + cfg.fine_weight * loss_f

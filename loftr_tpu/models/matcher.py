@@ -87,10 +87,14 @@ class LoFTR(nn.Module):
         mc = cfg.match_coarse
         conf_with_bin = None
         conf = None
-        use_pallas = (mc.use_pallas and not train and
-                      (mc.match_type == "dual_softmax" or
-                       (mc.match_type == "sinkhorn" and
-                        not mc.skh_prefilter)))
+        fused_train = (train and cfg.loss.use_pallas and
+                       mc.match_type == "dual_softmax" and
+                       not mc.sparse_spvs and cfg.loss.coarse_type == "focal")
+        use_pallas = (fused_train or
+                      (mc.use_pallas and not train and
+                       (mc.match_type == "dual_softmax" or
+                        (mc.match_type == "sinkhorn" and
+                         not mc.skh_prefilter))))
         if use_pallas and mc.match_type == "dual_softmax":
             # fused kernel: no [L, S] conf matrix is ever materialized
             cand = M.pallas_mutual_nearest_candidates(
@@ -181,4 +185,6 @@ class LoFTR(nn.Module):
             expec_f=expec_f,
             conf_matrix=conf,
             conf_matrix_with_bin=conf_with_bin,
+            feat_c0=feat_c0 if fused_train else None,
+            feat_c1=feat_c1 if fused_train else None,
         )

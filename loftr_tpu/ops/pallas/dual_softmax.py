@@ -38,6 +38,13 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e9
 
 
+def _auto_interpret(flag: bool) -> bool:
+    """Pallas TPU kernels run interpreted on non-TPU backends (CPU tests,
+    fake-device meshes)."""
+    import jax as _jax
+    return flag or _jax.default_backend() != "tpu"
+
+
 def _stats_kernel(f0_ref, f1_ref, m0_ref, m1_ref,
                   rowmax_ref, rowsum_ref, colmax_ref, colsum_ref):
     """Pass 1. f0 [TL,C] row tile; f1 [Sp,C] resident; m0 [TL,1], m1 [1,Sp]
@@ -116,7 +123,7 @@ def make_mask_vectors(L, S, Lp, Sp, mask0, mask1):
 
 @functools.partial(jax.jit,
                    static_argnames=("tile_l", "interpret"))
-def fused_dual_softmax_match(feat0: jax.Array, feat1: jax.Array,
+def _fused_dual_softmax_core(feat0: jax.Array, feat1: jax.Array,
                              temperature: float = 0.1,
                              mask0: Optional[jax.Array] = None,
                              mask1: Optional[jax.Array] = None,
@@ -131,6 +138,7 @@ def fused_dual_softmax_match(feat0: jax.Array, feat1: jax.Array,
     Returns (best_val [L], best_j [L] int32, colconfmax [S]).
     vmap over the batch axis for batched pairs.
     """
+    interpret = _auto_interpret(interpret)
     L, C = feat0.shape
     S = feat1.shape[0]
     scale = (1.0 / C ** 0.5) / (temperature ** 0.5)
@@ -191,3 +199,31 @@ def fused_dual_softmax_match(feat0: jax.Array, feat1: jax.Array,
 
     return (best_val[:L, 0], best_j[:L, 0],
             colconf[0, :S])
+
+
+# Match selection is non-differentiable by design (the reference wraps it in
+# @torch.no_grad, coarse_matching.py:150): declare a zero-gradient VJP so
+# the kernel never enters a linearization trace (pallas_call has no JVP
+# rule, and interpret-mode tracing breaks under grad even off-path).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 5, 6))
+def fused_dual_softmax_match(feat0, feat1, temperature=0.1,
+                             mask0=None, mask1=None,
+                             tile_l=128, interpret=False):
+    return _fused_dual_softmax_core(feat0, feat1, temperature, mask0, mask1,
+                                    tile_l, interpret)
+
+
+def _match_fwd(feat0, feat1, temperature, mask0, mask1, tile_l, interpret):
+    out = _fused_dual_softmax_core(feat0, feat1, temperature, mask0, mask1,
+                                   tile_l, interpret)
+    # residuals alias the inputs (no extra memory under jit); bwd only needs
+    # their shapes/dtypes for the zero cotangents
+    return out, (feat0, feat1)
+
+
+def _match_bwd(temperature, tile_l, interpret, res, _g):
+    f0, f1 = res
+    return (jnp.zeros_like(f0), jnp.zeros_like(f1), None, None)
+
+
+fused_dual_softmax_match.defvjp(_match_fwd, _match_bwd)

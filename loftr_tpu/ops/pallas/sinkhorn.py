@@ -31,6 +31,13 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e9
 
 
+def _auto_interpret(flag: bool) -> bool:
+    """Pallas TPU kernels run interpreted on non-TPU backends (CPU tests,
+    fake-device meshes)."""
+    import jax as _jax
+    return flag or _jax.default_backend() != "tpu"
+
+
 def _u_kernel(f0_ref, f1_ref, m0_ref, m1_ref, v_ref, scal_ref,
               u_ref, colmax_ref, colsum_ref):
     """One Sinkhorn half-iteration over a row tile.
@@ -46,8 +53,8 @@ def _u_kernel(f0_ref, f1_ref, m0_ref, m1_ref, v_ref, scal_ref,
     sim = jnp.dot(f0_ref[:], f1_ref[:].T,
                   preferred_element_type=jnp.float32)
     sim = sim + (m0_ref[:] * m1_ref[:] - 1.0) * (-NEG)
-    av_bin = scal_ref[0]
-    log_mu = scal_ref[1]
+    av_bin = scal_ref[0, 0]
+    log_mu = scal_ref[0, 1]
 
     t = sim + v_ref[:]                                    # [TL, Sp]
     m = jnp.maximum(jnp.max(t, axis=1, keepdims=True), av_bin)
@@ -87,7 +94,7 @@ def _ot_best_kernel(f0_ref, f1_ref, m0_ref, m1_ref, u_ref, v_ref, scal_ref,
     sim = jnp.dot(f0_ref[:], f1_ref[:].T,
                   preferred_element_type=jnp.float32)
     sim = sim + (m0_ref[:] * m1_ref[:] - 1.0) * (-NEG)
-    logits = sim + u_ref[:] + v_ref[:] + scal_ref[0]
+    logits = sim + u_ref[:] + v_ref[:] + scal_ref[0, 0]
     conf = jnp.exp(logits)
 
     best_val_ref[:] = jnp.max(conf, axis=1, keepdims=True)
@@ -133,6 +140,7 @@ def fused_sinkhorn_match(feat0: jax.Array, feat1: jax.Array,
              prefilter0 [L], prefilter1 [S]) where prefilter* flag rows/cols
     whose assignment argmax is the dustbin (coarse_matching.py:136-140).
     """
+    interpret = _auto_interpret(interpret)
     L, C = feat0.shape
     S = feat1.shape[0]
     f32 = jnp.float32
@@ -184,12 +192,13 @@ def fused_sinkhorn_match(feat0: jax.Array, feat1: jax.Array,
         v_full_real = jnp.where(col_real, v[0], -jnp.inf)
         u_bin = log_mu_bin - (alpha + lse(
             jnp.concatenate([v_full_real, v_bin[None]])))
-        scal = jnp.stack([alpha + v_bin, norm, 0.0])
+        scal = jnp.stack([alpha + v_bin, norm, 0.0]).reshape(1, 3)
         u, colmax, colsum = pl.pallas_call(
             _u_kernel,
             grid=grid,
             in_specs=[row_spec, full_spec, m0_spec, colin_spec, colin_spec,
-                      pl.BlockSpec(memory_space=pltpu.SMEM)],
+                      pl.BlockSpec((1, 3), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)],
             out_specs=(rowout_spec, colin_spec, colin_spec),
             out_shape=(jax.ShapeDtypeStruct((Lp, 1), f32),
                        jax.ShapeDtypeStruct((1, Sp), f32),
@@ -205,12 +214,14 @@ def fused_sinkhorn_match(feat0: jax.Array, feat1: jax.Array,
         v_bin = log_nu_bin - (alpha + lse(
             jnp.concatenate([u_full_real, u_bin[None]])))
 
-    scal2 = jnp.stack([-norm])  # log(L+S)
+    scal2 = jnp.stack([-norm]).reshape(1, 1)  # log(L+S)
     best_val, best_j, colconf, rowlog, collog = pl.pallas_call(
         _ot_best_kernel,
         grid=grid,
         in_specs=[row_spec, full_spec, m0_spec, colin_spec, rowout_spec,
-                  colin_spec, pl.BlockSpec(memory_space=pltpu.SMEM)],
+                  colin_spec,
+                  pl.BlockSpec((1, 1), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
         out_specs=(rowout_spec,
                    pl.BlockSpec((tile_l, 1), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM),

@@ -66,6 +66,8 @@ class MatchResult:
     expec_f: jax.Array                  # [B, K, 3] (x, y, std) in window coords
     conf_matrix: Optional[jax.Array] = None           # [B, L, S] (training)
     conf_matrix_with_bin: Optional[jax.Array] = None  # [B, L+1, S+1] (OT sparse)
+    feat_c0: Optional[jax.Array] = None  # [B, L, C] (fused-loss training:
+    feat_c1: Optional[jax.Array] = None  # conf is never materialized)
 
     @property
     def valid(self) -> jax.Array:
