@@ -185,6 +185,120 @@ def _schur_reduce(prob: BAProblem, Hcc, b_c, Hpp_inv, b_p, A, lm_lambda):
     return S, rhs
 
 
+# ---------------------------------------------------------------------------
+# Matrix-free PCG on the reduced camera system.
+#
+# The dense path (_schur_reduce) materializes [P, O, O, 6, 6] pair blocks and
+# a [6C, 6C] matrix - O(P*O^2) work / memory, fine for keyframe-scale maps
+# but the scaling wall for large C or dense tracks (NOTES.md gap).  The PCG
+# path never forms S: each CG iteration applies
+#     S v = (Hcc + lambda D) v - sum_obs A_po Hpp_inv_p A_po^T v[cam_po]
+# with O(P*O) gathers/scatters, preconditioned by the exact 6x6 diagonal
+# blocks of S (exact because each point sees a camera at most once - the
+# observation table is grouped by point with distinct cameras per row;
+# padding rows have A == 0 and contribute nothing).
+# ---------------------------------------------------------------------------
+
+def _schur_matvec(obs_cam, Hcc_damped, Hpp_inv, A, v, psum_axis=None):
+    """Apply the reduced camera matrix S to v [C, 6] without forming S."""
+    vc = v[obs_cam]                                    # [P, O, 6]
+    u = jnp.einsum("poab,poa->pb", A, vc)              # [P, 3] A^T v
+    w = jnp.einsum("pab,pb->pa", Hpp_inv, u)           # [P, 3]
+    Aw = jnp.einsum("poab,pb->poa", A, w)              # [P, O, 6]
+    out = -jnp.zeros_like(v).at[obs_cam.reshape(-1)].add(Aw.reshape(-1, 6))
+    if psum_axis is not None:
+        out = jax.lax.psum(out, psum_axis)
+    return out + jnp.einsum("cab,cb->ca", Hcc_damped, v)
+
+
+def _schur_diag_blocks(obs_cam, Hcc_damped, Hpp_inv, A, psum_axis=None):
+    """Exact 6x6 diagonal blocks of S (see module comment for why the
+    per-observation sum is exact)."""
+    G = jnp.einsum("poab,pbc->poac", A, Hpp_inv)       # [P, O, 6, 3]
+    d = jnp.einsum("poac,pobc->poab", G, A)            # [P, O, 6, 6]
+    C = Hcc_damped.shape[0]
+    corr = jnp.zeros((C, 6, 6), Hcc_damped.dtype).at[
+        obs_cam.reshape(-1)].add(d.reshape(-1, 6, 6))
+    if psum_axis is not None:
+        corr = jax.lax.psum(corr, psum_axis)
+    return Hcc_damped - corr
+
+
+def _pcg(matvec, Minv_blocks, rhs, active, iters: int, rtol: float):
+    """Block-Jacobi preconditioned CG restricted to active cameras.
+
+    active [C] masks out gauge-fixed cameras (their delta stays 0, matching
+    _solve_cameras' identity-row treatment).  Runs a fixed-shape
+    lax.while_loop capped at `iters` with a relative-residual exit."""
+    act = active[:, None].astype(rhs.dtype)
+    rhs = rhs * act
+
+    def apply_S(v):
+        return matvec(v * act) * act
+
+    def apply_M(v):
+        return jnp.einsum("cab,cb->ca", Minv_blocks, v) * act
+
+    x0 = jnp.zeros_like(rhs)
+    r0 = rhs
+    z0 = apply_M(r0)
+    rz0 = jnp.vdot(r0, z0)
+    stop2 = (rtol ** 2) * jnp.maximum(jnp.vdot(rhs, rhs), 1e-30)
+
+    def cond(state):
+        _, r, _, _, _, k = state
+        return jnp.logical_and(k < iters, jnp.vdot(r, r) > stop2)
+
+    def body(state):
+        x, r, z, p, rz, k = state
+        Sp = apply_S(p)
+        alpha = rz / jnp.maximum(jnp.vdot(p, Sp), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Sp
+        z = apply_M(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return x, r, z, p, rz_new, k + 1
+
+    x, *_ = jax.lax.while_loop(cond, body,
+                               (x0, r0, z0, z0, rz0, jnp.zeros((), jnp.int32)))
+    return x
+
+
+def _solve_cameras_pcg(prob: BAProblem, Hcc, b_c, Hpp_inv, b_p, A, lm_lambda,
+                       cg_iters: int = 100, cg_rtol: float = 1e-6,
+                       psum_axis=None):
+    """Gauge-fixed reduced-system solve via matrix-free PCG.
+
+    Numerically equivalent to _schur_reduce + _solve_cameras (same damping,
+    same gauge treatment) but with O(P*O) per-iteration cost and no [C,C] or
+    [P,O,O] materialization."""
+    C = prob.n_cams
+    diag_scale = jnp.maximum(
+        jnp.trace(Hcc, axis1=1, axis2=2)[:, None, None] / 6, 1e-8)
+    Hcc_damped = Hcc + lm_lambda * jnp.eye(6, dtype=Hcc.dtype) * diag_scale
+
+    G = jnp.einsum("poab,pbc->poac", A, Hpp_inv)
+    gb = jnp.einsum("poac,pc->poa", G, b_p)
+    rhs_corr = jnp.zeros((C, 6), b_c.dtype).at[
+        prob.obs_cam.reshape(-1)].add(gb.reshape(-1, 6))
+    if psum_axis is not None:
+        rhs_corr = jax.lax.psum(rhs_corr, psum_axis)
+    rhs = b_c - rhs_corr
+
+    D = _schur_diag_blocks(prob.obs_cam, Hcc_damped, Hpp_inv, A, psum_axis)
+    # fixed cameras: identity block so the inverse is well-posed
+    fixed = prob.fix_mask
+    eye6 = jnp.eye(6, dtype=D.dtype)
+    D = jnp.where(fixed[:, None, None], eye6[None], D + 1e-8 * eye6)
+    Minv = jnp.linalg.inv(D)
+
+    matvec = partial(_schur_matvec, prob.obs_cam, Hcc_damped, Hpp_inv, A,
+                     psum_axis=psum_axis)
+    return _pcg(matvec, Minv, rhs, ~fixed, cg_iters, cg_rtol)
+
+
 def _solve_cameras(prob: BAProblem, S, rhs):
     """Dense solve of the (gauge-fixed) reduced system."""
     C = prob.n_cams
@@ -218,17 +332,26 @@ def _apply_update(prob: BAProblem, delta_c, delta_p):
     return prob.replace(R=R_new, t=t_new, points=prob.points + delta_p)
 
 
-@partial(jax.jit, static_argnames=("huber_delta", "kernel"))
+@partial(jax.jit, static_argnames=("huber_delta", "kernel", "solver",
+                                   "cg_iters"))
 def ba_iteration(prob: BAProblem, lm_lambda, huber_delta: float = 0.0,
-                 kernel: str = "huber"
+                 kernel: str = "huber", solver: str = "dense",
+                 cg_iters: int = 100
                  ) -> Tuple[BAProblem, jax.Array, jax.Array]:
     """One damped Gauss-Newton (LM) step (optionally robust).
 
+    solver: 'dense' forms the reduced camera system explicitly (O(P*O^2)
+    fill, exact [6C,6C] solve); 'pcg' is matrix-free block-Jacobi PCG
+    (O(P*O) per CG iteration, never materializes S - use for large C).
     Returns (candidate problem, old cost, new cost)."""
     r, Hcc, b_c, Hpp_inv, b_p, A = _build_normal_terms(prob, lm_lambda,
                                                        huber_delta, kernel)
-    S, rhs = _schur_reduce(prob, Hcc, b_c, Hpp_inv, b_p, A, lm_lambda)
-    delta_c = _solve_cameras(prob, S, rhs)
+    if solver == "pcg":
+        delta_c = _solve_cameras_pcg(prob, Hcc, b_c, Hpp_inv, b_p, A,
+                                     lm_lambda, cg_iters=cg_iters)
+    else:
+        S, rhs = _schur_reduce(prob, Hcc, b_c, Hpp_inv, b_p, A, lm_lambda)
+        delta_c = _solve_cameras(prob, S, rhs)
     delta_p = _back_substitute(prob, Hpp_inv, b_p, A, delta_c)
     new_prob = _apply_update(prob, delta_c, delta_p)
     return (new_prob, reprojection_cost(prob, huber_delta, kernel),
@@ -238,17 +361,20 @@ def ba_iteration(prob: BAProblem, lm_lambda, huber_delta: float = 0.0,
 def bundle_adjust(prob: BAProblem, max_iters: int = 20,
                   lm_lambda0: float = 1e-4,
                   tol: float = 1e-10, verbose: bool = False,
-                  huber_delta: float = 0.0, kernel: str = "huber"
+                  huber_delta: float = 0.0, kernel: str = "huber",
+                  solver: str = "dense", cg_iters: int = 100
                   ) -> Tuple[BAProblem, float]:
     """Host-controlled LM loop; one device program per iteration.
 
     huber_delta > 0 enables the robust kernel (units: normalized camera
-    coords; e.g. 3px at f=500 -> 0.006); kernel 'huber' or 'tukey'."""
+    coords; e.g. 3px at f=500 -> 0.006); kernel 'huber' or 'tukey';
+    solver 'dense' or 'pcg' (see ba_iteration)."""
     lam = lm_lambda0
     cost = float(reprojection_cost(prob, huber_delta, kernel))
     for it in range(max_iters):
         cand, old_cost, new_cost = ba_iteration(prob, jnp.asarray(lam),
-                                                huber_delta, kernel)
+                                                huber_delta, kernel,
+                                                solver, cg_iters)
         new_cost = float(new_cost)
         if verbose:
             print(f"BA iter {it}: cost {cost:.6e} -> {new_cost:.6e} "
@@ -274,12 +400,18 @@ def bundle_adjust(prob: BAProblem, max_iters: int = 20,
 # (SURVEY.md §7 stage 8 / BASELINE.json north star.)
 # ---------------------------------------------------------------------------
 
-def make_sharded_ba_iteration(mesh, axis: str = "data"):
+def make_sharded_ba_iteration(mesh, axis: str = "data",
+                              solver: str = "dense", cg_iters: int = 100):
     """Build a shard_map'd BA iteration over a point-sharded BAProblem.
 
     The returned fn takes (prob, lm_lambda) where prob.points/obs_* are
     sharded on `axis` (camera state replicated) and returns
     (new_prob, old_cost, new_cost) with the same shardings.
+
+    solver 'dense': each shard fills its partial [C,C,6,6] S, one psum, a
+    replicated dense solve.  solver 'pcg': matrix-free - one psum per CG
+    matvec, nothing quadratic in C ever formed; the right choice once C or
+    track density makes the dense fill the bottleneck.
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
@@ -294,23 +426,26 @@ def make_sharded_ba_iteration(mesh, axis: str = "data"):
     def step(prob, lm_lambda):
         r, Hcc_l, b_c_l, Hpp_inv, b_p, A = _build_normal_terms(
             prob, lm_lambda)
-        # NB: _schur_reduce applies LM damping from its Hcc argument, so the
-        # reduction must see the GLOBAL Hcc; psum partial sums first.
+        # NB: damping must see the GLOBAL Hcc; psum partial sums first.
         Hcc = jax.lax.psum(Hcc_l, axis)
         b_c = jax.lax.psum(b_c_l, axis)
-        S_l, rhs_l = _schur_reduce(prob, jnp.zeros_like(Hcc),
-                                   jnp.zeros_like(b_c), Hpp_inv, b_p, A,
-                                   0.0)
-        S = jax.lax.psum(S_l, axis)
-        rhs = jax.lax.psum(rhs_l, axis) + b_c
-        C = prob.n_cams
-        S = S.at[jnp.arange(C), jnp.arange(C)].add(Hcc)
-        diag_scale = jnp.maximum(
-            jnp.trace(Hcc, axis1=1, axis2=2)[:, None, None] / 6, 1e-8)
-        S = S.at[jnp.arange(C), jnp.arange(C)].add(
-            lm_lambda * jnp.eye(6) * diag_scale)
-
-        delta_c = _solve_cameras(prob, S, rhs)          # replicated solve
+        if solver == "pcg":
+            delta_c = _solve_cameras_pcg(prob, Hcc, b_c, Hpp_inv, b_p, A,
+                                         lm_lambda, cg_iters=cg_iters,
+                                         psum_axis=axis)
+        else:
+            S_l, rhs_l = _schur_reduce(prob, jnp.zeros_like(Hcc),
+                                       jnp.zeros_like(b_c), Hpp_inv, b_p, A,
+                                       0.0)
+            S = jax.lax.psum(S_l, axis)
+            rhs = jax.lax.psum(rhs_l, axis) + b_c
+            C = prob.n_cams
+            S = S.at[jnp.arange(C), jnp.arange(C)].add(Hcc)
+            diag_scale = jnp.maximum(
+                jnp.trace(Hcc, axis1=1, axis2=2)[:, None, None] / 6, 1e-8)
+            S = S.at[jnp.arange(C), jnp.arange(C)].add(
+                lm_lambda * jnp.eye(6) * diag_scale)
+            delta_c = _solve_cameras(prob, S, rhs)      # replicated solve
         delta_p = _back_substitute(prob, Hpp_inv, b_p, A, delta_c)  # local
         new_prob = _apply_update(prob, delta_c, delta_p)
         old_cost = jax.lax.psum(jnp.sum(r ** 2), axis)
@@ -322,11 +457,12 @@ def make_sharded_ba_iteration(mesh, axis: str = "data"):
 
 def bundle_adjust_sharded(prob: BAProblem, mesh, axis: str = "data",
                           max_iters: int = 20, lm_lambda0: float = 1e-4,
-                          tol: float = 1e-10) -> Tuple[BAProblem, float]:
+                          tol: float = 1e-10, solver: str = "dense",
+                          cg_iters: int = 100) -> Tuple[BAProblem, float]:
     """LM loop over the sharded iteration.  `prob` must already be
     device_put with points/obs sharded on `axis` (see
     loftr_tpu.parallel.mesh helpers)."""
-    step = make_sharded_ba_iteration(mesh, axis)
+    step = make_sharded_ba_iteration(mesh, axis, solver, cg_iters)
     lam = lm_lambda0
     cost = None
     for _ in range(max_iters):

@@ -213,3 +213,56 @@ def test_huber_ba_resists_gross_outliers():
         camera_centers(np.asarray(rob.R), np.asarray(rob.t)), gt_centers)
     assert ate_rob["ate_rmse"] < 0.02, ate_rob
     assert ate_rob["ate_rmse"] < ate_l2["ate_rmse"] / 10, (ate_rob, ate_l2)
+
+
+def test_pcg_solver_matches_dense():
+    """Matrix-free PCG step == dense Schur step (same damping, same gauge)."""
+    from loftr_tpu.sfm.bundle_adjustment import ba_iteration
+    prob, *_ = _synth_ba_problem(C=8, P=160, O=4, noise=1e-3,
+                                 pose_noise=0.02, point_noise=0.05, seed=11)
+    want_prob, _, want_new = ba_iteration(prob, jnp.asarray(1e-4),
+                                          solver="dense")
+    got_prob, _, got_new = ba_iteration(prob, jnp.asarray(1e-4),
+                                        solver="pcg", cg_iters=200)
+    np.testing.assert_allclose(np.asarray(got_prob.t),
+                               np.asarray(want_prob.t), rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(float(got_new), float(want_new), rtol=1e-3)
+
+
+def test_pcg_full_loop_converges():
+    prob, R_gt, t_gt, _ = _synth_ba_problem(
+        noise=0.0, pose_noise=0.02, point_noise=0.05, seed=12)
+    cost0 = float(reprojection_cost(prob))
+    solved, cost = bundle_adjust(prob, max_iters=25, solver="pcg")
+    assert cost < cost0 * 1e-6, f"cost {cost0} -> {cost}"
+    centers_est = camera_centers(np.asarray(solved.R), np.asarray(solved.t))
+    centers_gt = camera_centers(R_gt, t_gt)
+    ate = absolute_trajectory_error(centers_est, centers_gt)
+    assert ate["ate_rmse"] < 1e-3, ate
+
+
+def test_sharded_pcg_matches_single_device():
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from loftr_tpu.sfm.bundle_adjustment import (ba_iteration,
+                                                 make_sharded_ba_iteration)
+    prob, *_ = _synth_ba_problem(C=5, P=64, O=3, noise=1e-3,
+                                 pose_noise=0.02, point_noise=0.05, seed=13)
+    want_prob, want_old, want_new = ba_iteration(prob, jnp.asarray(1e-4),
+                                                 solver="pcg", cg_iters=200)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    shard = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    sharded = prob.replace(
+        R=jax.device_put(prob.R, repl), t=jax.device_put(prob.t, repl),
+        fix_mask=jax.device_put(prob.fix_mask, repl),
+        points=jax.device_put(prob.points, shard),
+        obs_uv=jax.device_put(prob.obs_uv, shard),
+        obs_cam=jax.device_put(prob.obs_cam, shard),
+        obs_w=jax.device_put(prob.obs_w, shard))
+    step = make_sharded_ba_iteration(mesh, "data", solver="pcg",
+                                     cg_iters=200)
+    got_prob, got_old, got_new = step(sharded, jnp.asarray(1e-4))
+    np.testing.assert_allclose(float(got_old), float(want_old), rtol=1e-5)
+    np.testing.assert_allclose(float(got_new), float(want_new), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_prob.t),
+                               np.asarray(want_prob.t), rtol=1e-3, atol=1e-5)
