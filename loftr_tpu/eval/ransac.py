@@ -119,17 +119,24 @@ def _decompose_and_vote(E: jax.Array, p0: jax.Array, p1: jax.Array,
     return cands_R[best], cands_t[best]
 
 
-@partial(jax.jit, static_argnames=("num_hypotheses",))
+@partial(jax.jit, static_argnames=("num_hypotheses", "solver"))
 def estimate_pose_ransac_jax(kpts0: jax.Array, kpts1: jax.Array,
                              K0: jax.Array, K1: jax.Array,
                              valid: jax.Array, rng: jax.Array,
                              pixel_thr: float = 0.5,
-                             num_hypotheses: int = 512) -> PoseEstimate:
+                             num_hypotheses: int = 512,
+                             solver: str = "8pt") -> PoseEstimate:
     """Estimate relative pose for ONE pair with static shapes.
 
     kpts0/kpts1: [K, 2] pixel coords (padded); valid: [K] bool;
     pixel_thr: inlier threshold in px (normalized by mean focal as in
     metrics.py:80).  vmap over pairs for batched eval.
+
+    solver '8pt': weighted-DLT hypotheses from 8 samples (cheap, needs the
+    larger sample to be outlier-free).  solver '5pt': minimal 5-point
+    hypotheses via the on-device hidden-variable solver
+    (eval/five_point_tpu.py) - up to 10 essential matrices per sample, much
+    higher all-inlier sample probability at heavy outlier rates.
     """
     Kcap = kpts0.shape[0]
     p0 = _normalize(kpts0, K0)
@@ -139,21 +146,37 @@ def estimate_pose_ransac_jax(kpts0: jax.Array, kpts1: jax.Array,
     thr_sq = thr * thr
 
     n_valid = jnp.sum(valid)
-    ok = n_valid >= 8
+    ok = n_valid >= (8 if solver == "8pt" else 6)
 
     # hypothesis sampling: categorical over valid matches
     logits = jnp.where(valid, 0.0, -1e9)
-    samples = jax.random.categorical(
-        rng, logits[None, None, :], axis=-1,
-        shape=(num_hypotheses, 8))                       # [H, 8]
 
-    def solve_one(idx):
-        E = _eight_point(p0[idx], p1[idx], jnp.ones((8,), p0.dtype))
-        err = _sampson_sq(E, p0, p1)
-        inl = (err < thr_sq) & valid
-        return E, jnp.sum(inl)
+    if solver == "5pt":
+        from loftr_tpu.eval.five_point_tpu import _solve_5point_single
+        samples = jax.random.categorical(
+            rng, logits[None, None, :], axis=-1,
+            shape=(num_hypotheses, 5))                   # [H, 5]
+        Es, Eok = jax.vmap(lambda idx: _solve_5point_single(
+            p0[idx], p1[idx]))(samples)                  # [H,10,3,3] [H,10]
+        Es = Es.reshape(-1, 3, 3)                        # [H*10, 3, 3]
 
-    Es, scores = jax.vmap(solve_one)(samples)            # [H,3,3], [H]
+        def score_one(E, e_ok):
+            inl = (_sampson_sq(E, p0, p1) < thr_sq) & valid
+            return jnp.where(e_ok, jnp.sum(inl), -1)
+
+        scores = jax.vmap(score_one)(Es, Eok.reshape(-1))
+    else:
+        samples = jax.random.categorical(
+            rng, logits[None, None, :], axis=-1,
+            shape=(num_hypotheses, 8))                   # [H, 8]
+
+        def solve_one(idx):
+            E = _eight_point(p0[idx], p1[idx], jnp.ones((8,), p0.dtype))
+            err = _sampson_sq(E, p0, p1)
+            inl = (err < thr_sq) & valid
+            return E, jnp.sum(inl)
+
+        Es, scores = jax.vmap(solve_one)(samples)        # [H,3,3], [H]
     best = jnp.argmax(scores)
     E_best = Es[best]
 
