@@ -92,9 +92,7 @@ class LoFTR(nn.Module):
                        not mc.sparse_spvs and cfg.loss.coarse_type == "focal")
         use_pallas = (fused_train or
                       (mc.use_pallas and not train and
-                       (mc.match_type == "dual_softmax" or
-                        (mc.match_type == "sinkhorn" and
-                         not mc.skh_prefilter))))
+                       mc.match_type in ("dual_softmax", "sinkhorn")))
         if use_pallas and mc.match_type == "dual_softmax":
             # fused kernel: no [L, S] conf matrix is ever materialized
             cand = M.pallas_mutual_nearest_candidates(
@@ -105,7 +103,8 @@ class LoFTR(nn.Module):
                 "bin_score", lambda k: jnp.asarray(mc.skh_init_bin_score))
             cand = M.pallas_sinkhorn_candidates(
                 feat_c0, feat_c1, bin_score, mc.skh_iters, mc.thr,
-                mc.border_rm, hw0_c, hw1_c, inp.mask0, inp.mask1)
+                mc.border_rm, hw0_c, hw1_c, inp.mask0, inp.mask1,
+                prefilter=mc.skh_prefilter)
         elif mc.match_type == "dual_softmax":
             conf = M.dual_softmax_conf(feat_c0, feat_c1, mc.dsmax_temperature,
                                        mask_c0, mask_c1)

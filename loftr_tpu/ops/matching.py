@@ -286,10 +286,12 @@ def pallas_sinkhorn_candidates(
         hw0_c: tuple, hw1_c: tuple,
         mask0: Optional[jax.Array] = None,
         mask1: Optional[jax.Array] = None,
-        interpret: bool = False) -> CandidateMatches:
-    """CandidateMatches via the fused Pallas Sinkhorn kernel (inference,
-    prefilter-off path).  Equivalent to sinkhorn_conf +
-    mutual_nearest_candidates without materializing the coupling matrix."""
+        interpret: bool = False,
+        prefilter: bool = False) -> CandidateMatches:
+    """CandidateMatches via the fused Pallas Sinkhorn kernel (inference).
+    Equivalent to sinkhorn_conf + mutual_nearest_candidates without
+    materializing the coupling matrix; prefilter=True applies the exact
+    skh_prefilter rule (one extra streaming pass in the kernel)."""
     from loftr_tpu.ops.pallas.sinkhorn import fused_sinkhorn_match
 
     B, L, C = feat0.shape
@@ -297,7 +299,8 @@ def pallas_sinkhorn_candidates(
     m0 = None if mask0 is None else mask0.reshape(B, L)
     m1 = None if mask1 is None else mask1.reshape(B, S)
     fn = lambda a, b, ma, mb: fused_sinkhorn_match(
-        a, b, bin_score, iters, ma, mb, interpret=interpret)
+        a, b, bin_score, iters, ma, mb, interpret=interpret,
+        prefilter=prefilter)
     if m0 is None:
         best_val, best_j, colconf, _, _ = jax.vmap(
             lambda a, b: fn(a, b, None, None))(feat0, feat1)

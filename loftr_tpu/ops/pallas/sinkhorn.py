@@ -116,6 +116,36 @@ def _ot_best_kernel(f0_ref, f1_ref, m0_ref, m1_ref, u_ref, v_ref, scal_ref,
         collog_ref[:] = jnp.maximum(collog_ref[:], tile_collog)
 
 
+def _ot_best_filtered_kernel(f0_ref, f1_ref, m0_ref, m1_ref, u_ref, v_ref,
+                             filt0_ref, filt1_ref, scal_ref,
+                             best_val_ref, best_j_ref, colconf_ref):
+    """Epilogue with the skh_prefilter applied EXACTLY: conf is zeroed on
+    rows/columns whose assignment argmax is the dustbin (filt* are 0/1 keep
+    vectors), THEN the per-row best and per-column max are taken - matching
+    the XLA path where a row whose best column was filtered falls back to
+    its best unfiltered column (coarse_matching.py:136-140 semantics
+    composed with the MNN selection)."""
+    i = pl.program_id(0)
+    sim = jnp.dot(f0_ref[:], f1_ref[:].T,
+                  preferred_element_type=jnp.float32)
+    sim = sim + (m0_ref[:] * m1_ref[:] - 1.0) * (-NEG)
+    logits = sim + u_ref[:] + v_ref[:] + scal_ref[0, 0]
+    conf = jnp.exp(logits) * filt0_ref[:] * filt1_ref[:]
+
+    best_val_ref[:] = jnp.max(conf, axis=1, keepdims=True)
+    best_j_ref[:] = jnp.argmax(conf, axis=1,
+                               keepdims=True).astype(jnp.int32)
+    tile_colmax = jnp.max(conf, axis=0, keepdims=True)
+
+    @pl.when(i == 0)
+    def _():
+        colconf_ref[:] = tile_colmax
+
+    @pl.when(i > 0)
+    def _():
+        colconf_ref[:] = jnp.maximum(colconf_ref[:], tile_colmax)
+
+
 def _pad_to(x, n, axis, value=0.0):
     pad = n - x.shape[axis]
     if pad <= 0:
@@ -126,12 +156,14 @@ def _pad_to(x, n, axis, value=0.0):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("iters", "tile_l", "interpret"))
+                   static_argnames=("iters", "tile_l", "interpret",
+                                    "prefilter"))
 def fused_sinkhorn_match(feat0: jax.Array, feat1: jax.Array,
                          bin_score: jax.Array, iters: int = 3,
                          mask0: Optional[jax.Array] = None,
                          mask1: Optional[jax.Array] = None,
-                         tile_l: int = 256, interpret: bool = False):
+                         tile_l: int = 256, interpret: bool = False,
+                         prefilter: bool = False):
     """Per-pair fused OT matcher core.
 
     feat0: [L, C]; feat1: [S, C] raw transformer features (the 1/sqrt(C)
@@ -139,6 +171,9 @@ def fused_sinkhorn_match(feat0: jax.Array, feat1: jax.Array,
     Returns (best_val [L], best_j [L], colconf [S],
              prefilter0 [L], prefilter1 [S]) where prefilter* flag rows/cols
     whose assignment argmax is the dustbin (coarse_matching.py:136-140).
+    With prefilter=True, best_val/best_j/colconf are computed over the
+    coupling with those rows/columns zeroed (exact skh_prefilter
+    semantics), at the cost of one extra streaming pass.
     """
     interpret = _auto_interpret(interpret)
     L, C = feat0.shape
@@ -237,5 +272,28 @@ def fused_sinkhorn_match(feat0: jax.Array, feat1: jax.Array,
     # prefilter: row/col argmax of the assignment (incl. dustbin) is the bin
     prefilter0 = (alpha + v_bin) > rowlog[:L, 0]
     prefilter1 = (alpha + u_bin) > collog[0, :S]
+
+    if prefilter:
+        # exact filtered epilogue: one more streaming pass with the
+        # dustbin-dominated rows/columns zeroed before best/colmax
+        filt0 = _pad_to((~prefilter0).astype(f32)[:, None], Lp, 0)
+        filt1 = _pad_to((~prefilter1).astype(f32)[None, :], Sp, 1)
+        best_val, best_j, colconf = pl.pallas_call(
+            _ot_best_filtered_kernel,
+            grid=grid,
+            in_specs=[row_spec, full_spec, m0_spec, colin_spec, rowout_spec,
+                      colin_spec, m0_spec, colin_spec,
+                      pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=(rowout_spec,
+                       pl.BlockSpec((tile_l, 1), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM),
+                       colin_spec),
+            out_shape=(jax.ShapeDtypeStruct((Lp, 1), f32),
+                       jax.ShapeDtypeStruct((Lp, 1), jnp.int32),
+                       jax.ShapeDtypeStruct((1, Sp), f32)),
+            interpret=interpret,
+        )(f0, f1, m0v, m1v, u, v, filt0, filt1, scal2)
+
     return (best_val[:L, 0], best_j[:L, 0], colconf[0, :S],
             prefilter0, prefilter1)

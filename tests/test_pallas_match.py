@@ -140,3 +140,61 @@ def test_fused_sinkhorn_multi_tile():
     np.testing.assert_allclose(np.asarray(bv), conf[0].max(axis=1),
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(bj), conf[0].argmax(axis=1))
+
+
+def test_fused_sinkhorn_prefilter_exact():
+    """prefilter=True epilogue == XLA sinkhorn_conf(prefilter=True) +
+    argmax/max: rows/cols whose assignment argmax is the dustbin are zeroed
+    BEFORE best selection, so a row whose best column got filtered falls
+    back to its best unfiltered column."""
+    from loftr_tpu.ops.pallas.sinkhorn import fused_sinkhorn_match
+    L, S = 56, 48
+    # low bin score rarely filters; use a high one so the filter really fires
+    for bin_score, seed in ((1.5, 11), (0.5, 12)):
+        f0, f1 = _feats(1, L, S, 32, seed=seed)
+        conf, assign = _ot_oracle(f0, f1, bin_score, 3, prefilter=True)
+        bv, bj, cc, pf0, pf1 = fused_sinkhorn_match(
+            jnp.asarray(f0[0]), jnp.asarray(f1[0]), jnp.asarray(bin_score),
+            3, interpret=True, prefilter=True)
+        assert np.asarray(pf0).any() or np.asarray(pf1).any() or \
+            bin_score < 1.0, "filter should fire at high bin score"
+        np.testing.assert_allclose(np.asarray(bv), conf[0].max(axis=1),
+                                   rtol=1e-4, atol=1e-6)
+        # argmax comparison only where the row survives (ties at 0 differ)
+        rows = conf[0].max(axis=1) > 0
+        np.testing.assert_array_equal(np.asarray(bj)[rows],
+                                      conf[0].argmax(axis=1)[rows])
+        np.testing.assert_allclose(np.asarray(cc), conf[0].max(axis=0),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_matcher_ot_prefilter_uses_pallas_path():
+    """Full model forward with sinkhorn + skh_prefilter on the fused path
+    matches the XLA path (use_pallas=False) bit-for-bit on selections."""
+    import jax
+    from loftr_tpu import LoFTR, MatchInput, get_config
+    rng = np.random.RandomState(0)
+    inp = MatchInput(
+        image0=jnp.asarray(rng.rand(1, 64, 64, 1), jnp.float32),
+        image1=jnp.asarray(rng.rand(1, 64, 64, 1), jnp.float32))
+    cfg = get_config("indoor_ot").replaced({
+        "loftr": {
+            "backbone": {"initial_dim": 8, "block_dims": (8, 12, 16)},
+            "coarse": {"d_model": 16, "nhead": 2,
+                       "layer_names": ("self", "cross")},
+            "fine": {"d_model": 8, "nhead": 2,
+                     "layer_names": ("self", "cross")},
+            "match_coarse": {"max_matches": 16, "skh_prefilter": True,
+                             "thr": 0.0, "border_rm": 0},
+        }})
+    model = LoFTR(cfg.loftr)
+    v = model.init(jax.random.PRNGKey(0), inp)
+    out_pallas = model.apply(v, inp)
+    cfg2 = cfg.replaced({"loftr": {"match_coarse": {"use_pallas": False}}})
+    out_xla = LoFTR(cfg2.loftr).apply(v, inp)
+    np.testing.assert_array_equal(np.asarray(out_pallas.valid),
+                                  np.asarray(out_xla.valid))
+    keep = np.asarray(out_pallas.valid)
+    np.testing.assert_allclose(np.asarray(out_pallas.mkpts0_f)[keep],
+                               np.asarray(out_xla.mkpts0_f)[keep],
+                               atol=1e-4)
