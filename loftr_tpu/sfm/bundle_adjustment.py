@@ -394,6 +394,123 @@ def bundle_adjust(prob: BAProblem, max_iters: int = 20,
 
 
 # ---------------------------------------------------------------------------
+# Per-point outlier-vs-reset stage (between the Huber and Tukey rounds of an
+# annealed robust schedule).  The redescending Tukey kernel can permanently
+# reject GOOD observations of a point that an early gross outlier dragged
+# off: once the point sits at the outlier's consensus, the true observations
+# look like the outliers.  The fix is point-local: gate each observation by
+# its residual, retriangulate every point from its gated (inlier)
+# observations only (cameras held fixed - 3x3 GN solves, trivially batched),
+# and zero the weight of observations that still disagree afterwards.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("gn_iters",))
+def reset_point_outliers(prob: BAProblem, thr: float,
+                         gn_iters: int = 8) -> BAProblem:
+    """RANSAC-style per-track consensus: retriangulation + outlier removal.
+
+    For every point, all O(O^2) two-view midpoint triangulations of its
+    observation pairs are candidate positions (plus the current position);
+    the candidate with maximum observation support (residual < thr) wins,
+    is GN-polished on its gated inliers (cameras fixed - batched 3x3
+    solves), and observations still beyond the gate afterwards get their
+    weight zeroed.  This fixes the case a residual gate alone cannot: a
+    point dragged so far by a gross outlier that ALL its residuals exceed
+    the gate (the good observations still agree with each other, which the
+    two-view candidates expose).
+
+    thr: gate in normalized-coordinate units (same scale as huber_delta;
+    e.g. 3px at f=500 -> 0.006).  Points whose best support < 2 are left
+    untouched.
+    """
+    R = prob.R[prob.obs_cam]              # [P, O, 3, 3]
+    t = prob.t[prob.obs_cam]              # [P, O, 3]
+    P, O = prob.obs_cam.shape
+    dt = prob.points.dtype
+    thr2 = thr * thr
+    w_valid = prob.obs_w > 0              # [P, O]
+
+    def residual2(points):
+        """points [..., P, 3] -> squared residual [..., P, O]."""
+        pred, _ = _project(R, t, points[..., None, :])
+        return jnp.sum((pred - prob.obs_uv) ** 2, axis=-1)
+
+    # two-view midpoint triangulation for every observation pair:
+    # rays  X = c_o + s * d_o  in world coords
+    Rt = jnp.swapaxes(R, -1, -2)
+    centers = -(Rt @ t[..., None])[..., 0]                     # [P, O, 3]
+    ray = jnp.concatenate([prob.obs_uv,
+                           jnp.ones((P, O, 1), dt)], -1)       # cam coords
+    dirs = (Rt @ ray[..., None])[..., 0]                       # [P, O, 3]
+    d1 = dirs[:, :, None, :]                                   # [P, O, O, 3]
+    d2 = dirs[:, None, :, :]
+    c1 = centers[:, :, None, :]
+    c2 = centers[:, None, :, :]
+    a11 = jnp.sum(d1 * d1, -1)
+    a12 = -jnp.sum(d1 * d2, -1)
+    a22 = jnp.sum(d2 * d2, -1)
+    dc = c2 - c1
+    b1 = jnp.sum(d1 * dc, -1)
+    b2 = -jnp.sum(d2 * dc, -1)
+    det = a11 * a22 - a12 * a12
+    degen = jnp.abs(det) < 1e-12                               # parallel rays
+    det = jnp.where(degen, 1.0, det)
+    s1 = (b1 * a22 - b2 * a12) / det
+    s2 = (a11 * b2 - a12 * b1) / det
+    cand = 0.5 * ((c1 + s1[..., None] * d1) + (c2 + s2[..., None] * d2))
+    pair_ok = (w_valid[:, :, None] & w_valid[:, None, :] & ~degen &
+               (jnp.arange(O)[:, None] < jnp.arange(O)[None, :])[None] &
+               (s1 > 0) & (s2 > 0))                            # [P, O, O]
+
+    # support of each candidate (and of the current position)
+    A = O * O
+    cand_flat = cand.reshape(P, A, 3)
+    r2_cand = residual2(jnp.swapaxes(cand_flat, 0, 1))         # [A, P, O]
+    supp = jnp.sum((r2_cand < thr2) & w_valid[None], axis=-1)  # [A, P]
+    supp = jnp.where(pair_ok.reshape(P, A).T, supp, 0)
+    supp_cur = jnp.sum((residual2(prob.points) < thr2) & w_valid, axis=-1)
+
+    best = jnp.argmax(supp, axis=0)                            # [P]
+    best_supp = jnp.take_along_axis(supp, best[None], axis=0)[0]
+    # switch to the consensus candidate only if it strictly beats the
+    # current position's support (ties keep the smooth BA estimate)
+    switch = (best_supp >= 2) & (best_supp > supp_cur)
+    X0 = jnp.where(switch[:, None],
+                   jnp.take_along_axis(cand_flat, best[:, None, None],
+                                       axis=1)[:, 0], prob.points)
+
+    gate = (residual2(X0) < thr2) & w_valid                    # [P, O]
+    can_fix = jnp.sum(gate, axis=1) >= 2
+    gate_w = (gate & can_fix[:, None]).astype(dt)
+
+    def gn_body(_, points):
+        pred, Xc = _project(R, t, points[:, None, :])
+        r = (pred - prob.obs_uv) * gate_w[..., None]           # [P, O, 2]
+        z = jnp.maximum(Xc[..., 2], 1e-6)
+        x, y = Xc[..., 0], Xc[..., 1]
+        zero = jnp.zeros_like(z)
+        inv_z = 1.0 / z
+        P_mat = jnp.stack([
+            jnp.stack([inv_z, zero, -x * inv_z ** 2], -1),
+            jnp.stack([zero, inv_z, -y * inv_z ** 2], -1),
+        ], axis=-2)                                            # [P, O, 2, 3]
+        J = (P_mat @ R) * gate_w[..., None, None]
+        H = jnp.einsum("poia,poib->pab", J, J)
+        b = -jnp.einsum("poia,poi->pa", J, r)
+        H = H + 1e-8 * jnp.eye(3, dtype=H.dtype)
+        dp = jnp.linalg.solve(H, b[..., None])[..., 0]
+        return points + jnp.where(can_fix[:, None], dp, 0.0)
+
+    points = jax.lax.fori_loop(0, gn_iters, gn_body, X0)
+    points = jnp.where(can_fix[:, None], points, prob.points)
+
+    # hard-zero observations that still disagree with the re-solved point
+    still_out = (residual2(points) >= thr2) & can_fix[:, None]
+    new_w = jnp.where(still_out, 0.0, prob.obs_w)
+    return prob.replace(points=points, obs_w=new_w)
+
+
+# ---------------------------------------------------------------------------
 # Distributed BA: points (and their observations) sharded across a mesh axis;
 # the reduced camera system is formed with psum collectives over ICI/DCN and
 # solved replicated; landmark back-substitution stays shard-local.

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 
 from loftr_tpu.eval.ransac import estimate_pose_ransac_jax
 from loftr_tpu.sfm.bundle_adjustment import (BAProblem, bundle_adjust,
-                                             reprojection_cost)
+                                             reprojection_cost,
+                                             reset_point_outliers)
 from loftr_tpu.sfm.pose_graph import (Edge, build_tracks, chain_world_poses,
                                       metric_scale_from_depth,
                                       triangulate_pair)
@@ -184,6 +185,10 @@ def run_sfm(n_frames: int, match_fn: Callable, K: np.ndarray,
                                     huber_delta=huber_delta * 10)
             prob, _ = bundle_adjust(prob, max_iters=ba_iters,
                                     huber_delta=huber_delta * 2.5)
+            # outlier-vs-reset: retriangulate points from gated inlier
+            # observations so Tukey doesn't reject good observations of
+            # points an early outlier dragged off
+            prob = reset_point_outliers(prob, huber_delta * 2.5)
             prob, cost = bundle_adjust(prob, max_iters=ba_iters,
                                        huber_delta=huber_delta,
                                        kernel="tukey")

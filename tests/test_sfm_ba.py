@@ -266,3 +266,51 @@ def test_sharded_pcg_matches_single_device():
     np.testing.assert_allclose(float(got_new), float(want_new), rtol=1e-3)
     np.testing.assert_allclose(np.asarray(got_prob.t),
                                np.asarray(want_prob.t), rtol=1e-3, atol=1e-5)
+
+
+def test_reset_point_outliers_recovers_dragged_points():
+    """A gross outlier observation drags its point during L2/Huber BA; the
+    redescending Tukey stage then sees the point's GOOD observations as
+    outliers.  reset_point_outliers retriangulates from gated inliers and
+    zeroes the bad observation, letting Tukey finish at the noise floor."""
+    from loftr_tpu.sfm.bundle_adjustment import reset_point_outliers
+    prob, R_gt, t_gt, pts_gt = _synth_ba_problem(
+        C=6, P=120, O=4, noise=1e-4, pose_noise=0.0, point_noise=0.0,
+        seed=21)
+    obs_uv = np.array(prob.obs_uv)
+    pts0 = np.array(prob.points)
+    rngo = np.random.RandomState(21)
+    bad = rngo.choice(120, 20, replace=False)
+    for p in bad:
+        obs_uv[p, 0] += rngo.randn(2) * 0.25      # gross outlier, weight 1
+        # the point already sits dragged toward the outlier's consensus
+        pts0[p] += rngo.randn(3) * 0.5
+    prob = prob.replace(obs_uv=jnp.asarray(obs_uv),
+                        points=jnp.asarray(pts0, jnp.float32))
+
+    fixed = reset_point_outliers(prob, 0.005)
+    w = np.asarray(fixed.obs_w)
+    # every planted outlier observation is hard-zeroed...
+    assert (w[bad, 0] == 0.0).all()
+    # ...and no clean observation of an undragged point was lost
+    clean = np.setdiff1d(np.arange(120), bad)
+    assert (w[clean] > 0).all()
+    # dragged points land back near ground truth (cameras were exact);
+    # the Tukey stage below does the final polish
+    err = np.linalg.norm(np.asarray(fixed.points)[bad] - pts_gt[bad], axis=1)
+    assert err.max() < 0.02, err.max()
+
+    # end-to-end: tukey WITHOUT reset leaves dragged points stuck (its
+    # basin is the corrupted position); with reset it reaches the floor
+    tk_only, _ = bundle_adjust(prob, max_iters=15, huber_delta=0.002,
+                               kernel="tukey")
+    tk_reset, _ = bundle_adjust(fixed, max_iters=15, huber_delta=0.002,
+                                kernel="tukey")
+    e_only = np.linalg.norm(np.asarray(tk_only.points)[bad] - pts_gt[bad],
+                            axis=1).max()
+    e_reset = np.linalg.norm(np.asarray(tk_reset.points)[bad] - pts_gt[bad],
+                             axis=1).max()
+    # absolute bound reflects 3-observation triangulation uncertainty after
+    # the outlier observation is dropped; relative bound is the real claim
+    assert e_reset < 0.03, e_reset
+    assert e_reset < e_only / 20, (e_reset, e_only)
