@@ -26,7 +26,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=32)  # amortizes the axon
+    # relay's non-pipelining per-dispatch latency (B=8: ~208/s, B=32:
+    # ~222/s on the same chip); HBM fits it since the fused matcher never
+    # materializes [L, S]
     ap.add_argument("--iters", type=int, default=40)
     ap.add_argument("--pallas", action=argparse.BooleanOptionalAction,
                     default=True,
