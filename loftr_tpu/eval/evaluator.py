@@ -52,7 +52,7 @@ def _merge_across_hosts(metrics: Dict[str, list]) -> Dict[str, list]:
 class Evaluator:
     def __init__(self, config: Config, variables: dict,
                  pose_solver: str = "opencv", num_hypotheses: int = 1024):
-        """pose_solver: 'opencv' (parity, metrics.py:72-98), 'jax'
+        """pose_solver: 'opencv' (parity, metrics.py:72-98), 'jax'/'jax5pt'
         (batched on-device RANSAC), 'native' (in-tree C++ LO-RANSAC),
         or '5pt' (in-tree minimal 5-point hidden-variable solver)."""
         self.config = config
@@ -97,13 +97,19 @@ class Evaluator:
             T_0to1 = np.asarray(inp.T_0to1)
 
             B = valid.shape[0]
-            if self.pose_solver == "jax":
+            if self.pose_solver in ("jax", "jax5pt"):
                 rng, sub = jax.random.split(rng)
                 rngs = jax.random.split(sub, B)
+                # 'jax5pt': on-device minimal 5-point hypotheses (each
+                # sample yields up to 10 E), so far fewer samples suffice
+                minimal = self.pose_solver == "jax5pt"
+                n_hyp = (max(1, self.num_hypotheses // 8) if minimal
+                         else self.num_hypotheses)
                 est = jax.vmap(
                     lambda a, b, k0, k1, v, r: estimate_pose_ransac_jax(
                         a, b, k0, k1, v, r, pixel_thr=pixel_thr,
-                        num_hypotheses=self.num_hypotheses))(
+                        num_hypotheses=n_hyp,
+                        solver="5pt" if minimal else "8pt"))(
                     jnp.asarray(kpts0), jnp.asarray(kpts1),
                     jnp.asarray(K0), jnp.asarray(K1),
                     jnp.asarray(valid), rngs)

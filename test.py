@@ -9,7 +9,7 @@ Usage:
       --data-root data/scannet/test \
       --npz-path assets/scannet_test_1500/test.npz \
       --intrinsic-path assets/scannet_test_1500/intrinsics.npz \
-      --ckpt weights/indoor_ds.ckpt [--thr 0.2] [--pose-solver opencv|jax]
+      --ckpt weights/indoor_ds.ckpt [--thr 0.2] [--pose-solver opencv|jax|jax5pt|native|5pt]
 """
 from __future__ import annotations
 
@@ -36,7 +36,7 @@ def parse_args():
     p.add_argument("--thr", type=float, default=None,
                    help="override coarse matching threshold")
     p.add_argument("--pose-solver", default="opencv",
-                   choices=["opencv", "jax", "native", "5pt"])
+                   choices=["opencv", "jax", "jax5pt", "native", "5pt"])
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--num-workers", type=int, default=8)
     p.add_argument("--img-resize", type=int, default=840)
