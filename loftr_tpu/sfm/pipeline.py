@@ -163,12 +163,14 @@ def run_sfm(n_frames: int, match_fn: Callable, K: np.ndarray,
             keyframe_stride: int = 5, link_range: int = 2,
             ba_iters: int = 15, rng: Optional[jax.Array] = None,
             adaptive_keyframes: bool = False, min_matches_kf: int = 300,
-            huber_delta: float = 0.002):
+            huber_delta: float = 0.002, ba_solver: str = "dense"):
     """Full pipeline.  Returns dict with keyframes, poses (R, t world->cam),
     edges, BA cost, and the solved BAProblem (or None).
 
     huber_delta > 0 runs an annealed robust BA schedule (Huber basin search
-    then Tukey rejection) - the right default for real matcher output."""
+    then Tukey rejection) - the right default for real matcher output.
+    ba_solver: 'dense' (exact reduced-system solve, keyframe scale) or
+    'pcg' (matrix-free, for large keyframe counts)."""
     if adaptive_keyframes:
         kfs = select_keyframes_adaptive(n_frames, match_fn,
                                         min_matches=min_matches_kf)
@@ -182,18 +184,21 @@ def run_sfm(n_frames: int, match_fn: Callable, K: np.ndarray,
     if prob is not None:
         if huber_delta > 0:
             prob, _ = bundle_adjust(prob, max_iters=ba_iters,
-                                    huber_delta=huber_delta * 10)
+                                    huber_delta=huber_delta * 10,
+                                    solver=ba_solver)
             prob, _ = bundle_adjust(prob, max_iters=ba_iters,
-                                    huber_delta=huber_delta * 2.5)
+                                    huber_delta=huber_delta * 2.5,
+                                    solver=ba_solver)
             # outlier-vs-reset: retriangulate points from gated inlier
             # observations so Tukey doesn't reject good observations of
             # points an early outlier dragged off
             prob = reset_point_outliers(prob, huber_delta * 2.5)
             prob, cost = bundle_adjust(prob, max_iters=ba_iters,
                                        huber_delta=huber_delta,
-                                       kernel="tukey")
+                                       kernel="tukey", solver=ba_solver)
         else:
-            prob, cost = bundle_adjust(prob, max_iters=ba_iters)
+            prob, cost = bundle_adjust(prob, max_iters=ba_iters,
+                                       solver=ba_solver)
         R_w = np.asarray(prob.R, np.float64)
         t_w = np.asarray(prob.t, np.float64)
     return {

@@ -32,6 +32,9 @@ def parse_args():
     p.add_argument("--link-range", type=int, default=2)
     p.add_argument("--max-frames", type=int, default=0)
     p.add_argument("--ba-iters", type=int, default=15)
+    p.add_argument("--ba-solver", default="dense", choices=["dense", "pcg"],
+                   help="reduced-camera-system solver (pcg: matrix-free, "
+                        "for large keyframe counts)")
     p.add_argument("--resize", type=int, nargs=2, default=(640, 480))
     p.add_argument("--no-depth", action="store_true")
     p.add_argument("--out", default=None)
@@ -120,7 +123,8 @@ def main():
 
     out = run_sfm(len(frames), match_fn, K, depths=depths,
                   keyframe_stride=args.keyframe_stride,
-                  link_range=args.link_range, ba_iters=args.ba_iters)
+                  link_range=args.link_range, ba_iters=args.ba_iters,
+                  ba_solver=args.ba_solver)
     kfs = out["keyframes"]
     report = {"scene": scene, "n_frames": len(frames),
               "n_keyframes": len(kfs), "n_edges": len(out["edges"]),
