@@ -173,17 +173,25 @@ def _solve_5point_single(p0: jax.Array, p1: jax.Array,
     pair = evalid & (s_at_e * s_cell < 0)                    # two roots
 
     # assemble brackets: primary sign-change cells + split extremum cells
+    # + unsplit extrema as degenerate brackets (a twisted pair that f32
+    # rounding pushed just past tangency has no sign change, but the
+    # extremum is a near-root the GN polish can finish; junk extrema are
+    # pruned by the final constraint-residual gate)
     idx = jnp.where(flip, jnp.arange(G - 1), G)
     order = jnp.sort(idx)[:n_roots]
     pvalid = order < G
     psafe = jnp.minimum(order, G - 2)
-    lo_all = jnp.concatenate([ts[psafe], elo, t_e])
-    hi_all = jnp.concatenate([ts[psafe + 1], t_e, ehi])
-    s_lo_all = jnp.concatenate([signs[psafe], s_cell, s_at_e])
-    v_all = jnp.concatenate([pvalid, pair, pair])
+    single = evalid & ~pair
+    lo_all = jnp.concatenate([ts[psafe], elo, t_e, t_e])
+    hi_all = jnp.concatenate([ts[psafe + 1], t_e, ehi, t_e])
+    s_lo_all = jnp.concatenate([signs[psafe], s_cell, s_at_e, s_at_e])
+    v_all = jnp.concatenate([pvalid, pair, pair, single])
+    # guaranteed roots (sign-change brackets) outrank extremum seeds
+    prio = jnp.concatenate([
+        jnp.zeros(n_roots + 2 * N_EXT), jnp.ones(N_EXT)])
 
     # keep the first n_roots valid brackets (invalid sort to the end)
-    key = jnp.where(v_all, lo_all, jnp.inf)
+    key = jnp.where(v_all, prio * 10.0 + lo_all, jnp.inf)
     take = jnp.argsort(key)[:n_roots]
     lo, hi = lo_all[take], hi_all[take]
     s_lo = s_lo_all[take]
@@ -242,7 +250,13 @@ def _solve_5point_single(p0: jax.Array, p1: jax.Array,
     n = jnp.linalg.norm(E.reshape(-1, 9), axis=-1)
     norm_ok = n > 1e-9
     E = E / jnp.where(norm_ok, n, 1.0)[:, None, None]
-    return E, valid & denom_ok & norm_ok
+    # final gate: the polished, normalized E must actually satisfy the
+    # essential constraints (prunes extremum seeds that were not roots;
+    # cubic constraints of a unit-norm E are O(1)-scaled)
+    # (1e-6: true roots polish to <=1e-8; near-roots rescued from f32-lost
+    # twisted pairs sit ~1e-7; junk extremum seeds >=1e-4)
+    res = jnp.sum(_essential_constraints(E) ** 2, axis=-1)
+    return E, valid & denom_ok & norm_ok & (res < 1e-6)
 
 
 @partial(jax.jit, static_argnames=("n_roots", "grid_size", "bisect_iters"))
