@@ -170,10 +170,11 @@ class Evaluator:
 
     def evaluate_dataset(self, dataset, batch_size: int = 1,
                          num_workers: int = 4,
-                         world_size: int = 1, rank: int = 0
+                         world_size: int = 1, rank: int = 0,
+                         dump_path: Optional[str] = None
                          ) -> Dict[str, float]:
         """Exact pair-index sharding across hosts (no duplicates)."""
         order = list(range(rank, len(dataset), world_size))
         loader = DataLoader(dataset, batch_size=batch_size, sampler=order,
                             num_workers=num_workers, drop_last=False)
-        return self.evaluate_batches(loader)
+        return self.evaluate_batches(loader, dump_path=dump_path)

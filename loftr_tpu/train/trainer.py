@@ -51,6 +51,10 @@ class Trainer:
         self.model = LoFTR(config.loftr)
         true_lr, warmup = config.scaled_lr(world_size, batch_size_per_device)
         self.tx = build_optimizer(config.trainer, true_lr, warmup)
+        # per-step LR in the scalars (LearningRateMonitor equivalent,
+        # train.py:98)
+        from loftr_tpu.train.optim import lr_schedule
+        self._lr_sched = lr_schedule(config.trainer, true_lr, warmup)
         self._res_c, self._res_f = config.loftr.backbone.resolution
         self._window = config.loftr.fine.window_size
 
@@ -93,6 +97,7 @@ class Trainer:
         new_params = optax.apply_updates(state.params, updates)
         scalars = dict(scalars)
         scalars["grad_norm"] = optax.global_norm(grads)
+        scalars["lr"] = self._lr_sched(state.step)
         new_state = TrainState(step=state.step + 1, params=new_params,
                                batch_stats=new_stats, opt_state=new_opt,
                                rng=rng)

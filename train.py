@@ -46,6 +46,10 @@ def parse_args():
     p.add_argument("--val-npz-path", default=None,
                    help="scannet-style val npz (enables per-epoch val)")
     p.add_argument("--val-data-root", default=None)
+    p.add_argument("--val-dump", action="store_true",
+                   help="save per-pair val records (render with "
+                        "tools/visualize_dump.py) - the reference's "
+                        "TensorBoard match-figure logging equivalent")
     p.add_argument("--val-pose-solver", default="jax",
                    choices=["jax", "opencv"])
     return p.parse_args()
@@ -174,7 +178,10 @@ def main():
                 metrics = ev.evaluate_dataset(
                     val_ds, batch_size=args.batch_size,
                     num_workers=args.num_workers,
-                    world_size=world_size, rank=rank)
+                    world_size=world_size, rank=rank,
+                    dump_path=(os.path.join(
+                        args.ckpt_dir, "logs", f"val_dump_e{epoch}_r{rank}.npz")
+                        if args.val_dump else None))
                 logger.log(int(state.step), metrics, epoch=epoch,
                            phase="val")
             if rank == 0:
