@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--pallas", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="use the fused Pallas matching kernel")
+    ap.add_argument("--fold-bn", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="fold backbone BatchNorms into conv kernels "
+                         "(utils/folding.py; measured perf-neutral on v5e "
+                         "- XLA fuses eval BN into the conv epilogue)")
     args = ap.parse_args()
 
     B, H, W = args.batch, 480, 640
@@ -54,6 +59,11 @@ def main():
 
     inp = make_batch(0)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), inp)
+    if args.fold_bn:
+        from loftr_tpu.utils.folding import fold_batchnorm, fold_config
+        variables = fold_batchnorm(variables)
+        cfg = fold_config(cfg)
+        model = LoFTR(cfg.loftr)
 
     # The axon relay has a large, variable per-dispatch latency (~15-150 ms)
     # and consecutive dispatches do not pipeline, so sustained throughput is

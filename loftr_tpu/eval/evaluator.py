@@ -51,10 +51,22 @@ def _merge_across_hosts(metrics: Dict[str, list]) -> Dict[str, list]:
 
 class Evaluator:
     def __init__(self, config: Config, variables: dict,
-                 pose_solver: str = "opencv", num_hypotheses: int = 1024):
+                 pose_solver: str = "opencv", num_hypotheses: int = 1024,
+                 fold_bn: bool = False):
         """pose_solver: 'opencv' (parity, metrics.py:72-98), 'jax'/'jax5pt'
         (batched on-device RANSAC), 'native' (in-tree C++ LO-RANSAC),
-        or '5pt' (in-tree minimal 5-point hidden-variable solver)."""
+        or '5pt' (in-tree minimal 5-point hidden-variable solver).
+
+        fold_bn: fold backbone BatchNorms into conv kernels for inference
+        (utils/folding.py).  Measured perf-neutral on TPU v5e (XLA already
+        fuses the eval-mode affine into the conv epilogue), so default off
+        to keep eval numerics bit-identical to training; useful to shrink
+        the inference param set / drop the batch_stats collection."""
+        if (fold_bn and config.loftr.backbone.norm == "batch"
+                and "batch_stats" in variables):
+            from loftr_tpu.utils.folding import fold_batchnorm, fold_config
+            variables = fold_batchnorm(variables)
+            config = fold_config(config)
         self.config = config
         self.variables = variables
         self.model = LoFTR(config.loftr)

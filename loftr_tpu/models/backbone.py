@@ -33,24 +33,31 @@ from loftr_tpu.ops.interpolate import upsample2x_align_corners
 
 
 def conv(features: int, kernel: int, stride: int = 1, name: str | None = None,
-         dtype=None):
+         dtype=None, bias: bool = False):
     pad = (kernel - 1) // 2
     return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
-                   padding=[(pad, pad), (pad, pad)], use_bias=False,
+                   padding=[(pad, pad), (pad, pad)], use_bias=bias,
                    kernel_init=nn.initializers.variance_scaling(
                        2.0, "fan_out", "truncated_normal"),
                    dtype=dtype, name=name)
 
 
 class Norm(nn.Module):
-    """BatchNorm (torch-default eps/momentum) or GroupNorm-8.
+    """BatchNorm (torch-default eps/momentum), GroupNorm-8, or 'none'.
 
     Statistics are always computed in float32 regardless of the compute
-    dtype (bf16 means/vars drift); output is cast back."""
+    dtype (bf16 means/vars drift); output is cast back.
+
+    'none' is the inference-only folded mode: the affine BN transform has
+    been absorbed into the preceding conv's kernel + bias
+    (loftr_tpu/utils/folding.py), so this module is the identity and the
+    paired convs carry a bias term instead."""
     kind: str = "batch"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.kind == "none":
+            return x
         orig = x.dtype
         x = x.astype(jnp.float32)
         if self.kind == "batch":
@@ -73,14 +80,15 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        fb = self.norm == "none"  # folded: bias absorbs the BN affine
         y = conv(self.planes, 3, self.stride, name="conv1",
-                 dtype=self.dtype)(x)
+                 dtype=self.dtype, bias=fb)(x)
         y = nn.relu(Norm(self.norm, name="bn1")(y, train))
-        y = conv(self.planes, 3, name="conv2", dtype=self.dtype)(y)
+        y = conv(self.planes, 3, name="conv2", dtype=self.dtype, bias=fb)(y)
         y = Norm(self.norm, name="bn2")(y, train)
         if self.stride != 1:
             x = conv(self.planes, 1, self.stride, name="downsample_conv",
-                     dtype=self.dtype)(x)
+                     dtype=self.dtype, bias=fb)(x)
             x = Norm(self.norm, name="downsample_bn")(x, train)
         return nn.relu(x + y)
 
@@ -95,7 +103,8 @@ class FusionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = conv(self.mid, 3, name="conv1", dtype=self.dtype)(x)
+        x = conv(self.mid, 3, name="conv1", dtype=self.dtype,
+                 bias=self.norm == "none")(x)
         x = nn.leaky_relu(Norm(self.norm, name="bn")(x, train),
                           negative_slope=0.01)
         return conv(self.out, 3, name="conv2", dtype=self.dtype)(x)
@@ -113,7 +122,8 @@ class ResNetFPN_8_2(nn.Module):
         d = self.block_dims
         # stem (resnet_fpn.py:60-62)
         x0 = nn.relu(Norm(self.norm, name="bn1")(
-            conv(self.initial_dim, 7, 2, name="conv1", dtype=self.dtype)(
+            conv(self.initial_dim, 7, 2, name="conv1", dtype=self.dtype,
+                 bias=self.norm == "none")(
                 x.astype(self.dtype) if self.dtype else x), train))
         # stages (resnet_fpn.py:64-66): two BasicBlocks each
         x1 = BasicBlock(d[0], 1, self.norm, self.dtype, name="layer1_0")(x0, train)
@@ -148,7 +158,8 @@ class ResNetFPN_16_4(nn.Module):
     def __call__(self, x, train: bool = False):
         d = self.block_dims
         x0 = nn.relu(Norm(self.norm, name="bn1")(
-            conv(self.initial_dim, 7, 2, name="conv1", dtype=self.dtype)(
+            conv(self.initial_dim, 7, 2, name="conv1", dtype=self.dtype,
+                 bias=self.norm == "none")(
                 x.astype(self.dtype) if self.dtype else x), train))
         x1 = BasicBlock(d[0], 1, self.norm, self.dtype, name="layer1_0")(x0, train)
         x1 = BasicBlock(d[0], 1, self.norm, self.dtype, name="layer1_1")(x1, train)  # 1/2

@@ -1,0 +1,89 @@
+"""BatchNorm folding (loftr_tpu/utils/folding.py): folded inference must
+reproduce batch-norm eval output through the backbone and the full matcher."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from loftr_tpu import LoFTR, MatchInput, get_config
+from loftr_tpu.models.backbone import ResNetFPN_8_2
+from loftr_tpu.utils.folding import fold_batchnorm, fold_config
+
+
+def _randomize_bn(variables, rng):
+    """Give BN params/stats non-trivial values so folding isn't the identity."""
+    def walk(tree, is_stats):
+        out = {}
+        for k, v in tree.items():
+            if (k == "bn" and isinstance(v, dict)
+                    and ("scale" in v or "mean" in v)):
+                n = next(iter(v.values())).shape[0]
+                if is_stats:
+                    out[k] = {"mean": jnp.asarray(rng.randn(n) * 0.5, jnp.float32),
+                              "var": jnp.asarray(rng.rand(n) * 2 + 0.1, jnp.float32)}
+                else:
+                    out[k] = {"scale": jnp.asarray(rng.rand(n) + 0.5, jnp.float32),
+                              "bias": jnp.asarray(rng.randn(n) * 0.2, jnp.float32)}
+            elif isinstance(v, dict):
+                out[k] = walk(v, is_stats)
+            else:
+                out[k] = v
+        return out
+    return {"params": walk(variables["params"], False),
+            "batch_stats": walk(variables["batch_stats"], True)}
+
+
+def test_backbone_folding_matches_bn_eval():
+    rng = np.random.RandomState(0)
+    bn_model = ResNetFPN_8_2(initial_dim=32, block_dims=(32, 48, 64),
+                             norm="batch")
+    x = jnp.asarray(rng.rand(2, 64, 64, 1), jnp.float32)
+    v = bn_model.init(jax.random.PRNGKey(0), x)
+    v = _randomize_bn({"params": {"backbone": v["params"]},
+                       "batch_stats": {"backbone": v["batch_stats"]}}, rng)
+    ref_c, ref_f = bn_model.apply(
+        {"params": v["params"]["backbone"],
+         "batch_stats": v["batch_stats"]["backbone"]}, x, train=False)
+
+    folded = fold_batchnorm(v)
+    none_model = ResNetFPN_8_2(initial_dim=32, block_dims=(32, 48, 64),
+                               norm="none")
+    got_c, got_f = none_model.apply(
+        {"params": folded["params"]["backbone"]}, x)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(ref_c),
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(ref_f),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_full_matcher_folding_end_to_end():
+    rng = np.random.RandomState(1)
+    cfg = get_config("indoor_ds", {"loftr": {"match_coarse": {
+        "max_matches": 64}}})
+    model = LoFTR(cfg.loftr)
+    inp = MatchInput(
+        image0=jnp.asarray(rng.rand(1, 64, 64, 1), jnp.float32),
+        image1=jnp.asarray(rng.rand(1, 64, 64, 1), jnp.float32))
+    v = model.init(jax.random.PRNGKey(0), inp)
+    v = _randomize_bn(v, rng)
+    ref = model.apply(v, inp)
+
+    fcfg = fold_config(cfg)
+    assert fcfg.loftr.backbone.norm == "none"
+    folded = fold_batchnorm(v)
+    assert "batch_stats" not in folded
+    got = LoFTR(fcfg.loftr).apply(folded, inp)
+
+    np.testing.assert_allclose(np.asarray(got.conf_matrix),
+                               np.asarray(ref.conf_matrix),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.expec_f),
+                               np.asarray(ref.expec_f), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got.mkpts0_f),
+                               np.asarray(ref.mkpts0_f), atol=5e-3)
+
+
+def test_fold_requires_batch_stats():
+    cfg = get_config("indoor_ds")
+    with pytest.raises(KeyError):
+        fold_batchnorm({"params": {"backbone": {}}})
