@@ -401,7 +401,7 @@ def _solve_5point_single(p0: jax.Array, p1: jax.Array,
         axis=1)                                              # [N_EXT, 16]
     s_pr = _sign_detC_df(basis, t_pr)                        # [N_EXT, 16]
     s_cell = signs[esafe]
-    opp = s_pr * s_cell[:, None] < 0                         # [N_EXT, 8]
+    opp = s_pr * s_cell[:, None] < 0                         # [N_EXT, 16]
     pair = evalid & jnp.any(opp, axis=1)                     # two roots
     pidx = jnp.argmax(opp, axis=1)
     t_e = jnp.where(pair,

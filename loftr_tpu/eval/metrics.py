@@ -52,8 +52,12 @@ def symmetric_epipolar_distance(pts0: jax.Array, pts1: jax.Array,
     p0h = jnp.concatenate([p0, jnp.ones_like(p0[..., :1])], -1)  # [B, M, 3]
     p1h = jnp.concatenate([p1, jnp.ones_like(p1[..., :1])], -1)
 
-    Ep0 = jnp.einsum("bij,bmj->bmi", E, p0h)       # [B, M, 3]
-    Etp1 = jnp.einsum("bji,bmj->bmi", E, p1h)      # E^T p1
+    # 'highest': the TPU default bf16 matmul passes perturb errors near
+    # the 5e-4 precision threshold; the contraction is tiny (K=3)
+    Ep0 = jnp.einsum("bij,bmj->bmi", E, p0h,
+                     precision=jax.lax.Precision.HIGHEST)   # [B, M, 3]
+    Etp1 = jnp.einsum("bji,bmj->bmi", E, p1h,
+                      precision=jax.lax.Precision.HIGHEST)  # E^T p1
     p1Ep0 = jnp.sum(p1h * Ep0, -1)
     d = p1Ep0 ** 2 * (1.0 / (Ep0[..., 0] ** 2 + Ep0[..., 1] ** 2) +
                       1.0 / (Etp1[..., 0] ** 2 + Etp1[..., 1] ** 2))

@@ -137,7 +137,20 @@ def estimate_pose_ransac_jax(kpts0: jax.Array, kpts1: jax.Array,
     hypotheses via the on-device hidden-variable solver
     (eval/five_point_tpu.py) - up to 10 essential matrices per sample, much
     higher all-inlier sample probability at heavy outlier rates.
+
+    Matmul precision is pinned to 'highest' for the whole estimator: on
+    TPU the default f32 matmul truncates to bf16 passes on the MXU, which
+    degrades the DLT/minimal-solver SVDs and the cheirality vote (see
+    five_point_tpu.solve_5point_batched for the measured failure).  All
+    matrices here are tiny, so the cost is dispatch-bound anyway.
     """
+    with jax.default_matmul_precision("highest"):
+        return _estimate_pose_ransac_impl(kpts0, kpts1, K0, K1, valid, rng,
+                                          pixel_thr, num_hypotheses, solver)
+
+
+def _estimate_pose_ransac_impl(kpts0, kpts1, K0, K1, valid, rng,
+                               pixel_thr, num_hypotheses, solver):
     Kcap = kpts0.shape[0]
     p0 = _normalize(kpts0, K0)
     p1 = _normalize(kpts1, K1)

@@ -343,19 +343,27 @@ def ba_iteration(prob: BAProblem, lm_lambda, huber_delta: float = 0.0,
     solver: 'dense' forms the reduced camera system explicitly (O(P*O^2)
     fill, exact [6C,6C] solve); 'pcg' is matrix-free block-Jacobi PCG
     (O(P*O) per CG iteration, never materializes S - use for large C).
-    Returns (candidate problem, old cost, new cost)."""
-    r, Hcc, b_c, Hpp_inv, b_p, A = _build_normal_terms(prob, lm_lambda,
-                                                       huber_delta, kernel)
-    if solver == "pcg":
-        delta_c = _solve_cameras_pcg(prob, Hcc, b_c, Hpp_inv, b_p, A,
-                                     lm_lambda, cg_iters=cg_iters)
-    else:
-        S, rhs = _schur_reduce(prob, Hcc, b_c, Hpp_inv, b_p, A, lm_lambda)
-        delta_c = _solve_cameras(prob, S, rhs)
-    delta_p = _back_substitute(prob, Hpp_inv, b_p, A, delta_c)
-    new_prob = _apply_update(prob, delta_c, delta_p)
-    return (new_prob, reprojection_cost(prob, huber_delta, kernel),
-            reprojection_cost(new_prob, huber_delta, kernel))
+    Returns (candidate problem, old cost, new cost).
+
+    Matmul precision is pinned to 'highest': with the TPU-default bf16
+    MXU passes the LM floor measurably rises (v5e, C=8/P=300/noise=1e-3:
+    final cost 1.476e-3 unpinned vs 1.398e-3 pinned, noise floor 1.2e-3
+    — the gap above floor grows ~1.4x); all blocks are <= 6x6 so the
+    3-pass cost is negligible against the solve itself."""
+    with jax.default_matmul_precision("highest"):
+        r, Hcc, b_c, Hpp_inv, b_p, A = _build_normal_terms(
+            prob, lm_lambda, huber_delta, kernel)
+        if solver == "pcg":
+            delta_c = _solve_cameras_pcg(prob, Hcc, b_c, Hpp_inv, b_p, A,
+                                         lm_lambda, cg_iters=cg_iters)
+        else:
+            S, rhs = _schur_reduce(prob, Hcc, b_c, Hpp_inv, b_p, A,
+                                   lm_lambda)
+            delta_c = _solve_cameras(prob, S, rhs)
+        delta_p = _back_substitute(prob, Hpp_inv, b_p, A, delta_c)
+        new_prob = _apply_update(prob, delta_c, delta_p)
+        return (new_prob, reprojection_cost(prob, huber_delta, kernel),
+                reprojection_cost(new_prob, huber_delta, kernel))
 
 
 def bundle_adjust(prob: BAProblem, max_iters: int = 20,
@@ -423,6 +431,11 @@ def reset_point_outliers(prob: BAProblem, thr: float,
     e.g. 3px at f=500 -> 0.006).  Points whose best support < 2 are left
     untouched.
     """
+    with jax.default_matmul_precision("highest"):
+        return _reset_point_outliers_impl(prob, thr, gn_iters)
+
+
+def _reset_point_outliers_impl(prob, thr, gn_iters):
     R = prob.R[prob.obs_cam]              # [P, O, 3, 3]
     t = prob.t[prob.obs_cam]              # [P, O, 3]
     P, O = prob.obs_cam.shape
@@ -541,6 +554,12 @@ def make_sharded_ba_iteration(mesh, axis: str = "data",
              in_specs=(prob_spec, P()),
              out_specs=(prob_spec, P(), P()))
     def step(prob, lm_lambda):
+        # same 'highest' precision pin as ba_iteration (the bf16 MXU default
+        # measurably raises the LM floor on real TPU; see ba_iteration)
+        with jax.default_matmul_precision("highest"):
+            return _step_body(prob, lm_lambda)
+
+    def _step_body(prob, lm_lambda):
         r, Hcc_l, b_c_l, Hpp_inv, b_p, A = _build_normal_terms(
             prob, lm_lambda)
         # NB: damping must see the GLOBAL Hcc; psum partial sums first.

@@ -46,15 +46,22 @@ def warp_kpts(kpts0: jax.Array, depth0: jax.Array, depth1: jax.Array,
 
     ones = jnp.ones_like(kpts0[..., :1])
     kpts0_h = jnp.concatenate([kpts0, ones], axis=-1) * kpts0_depth[..., None]
+    # 'highest' einsum precision: the TPU default truncates inputs to bf16
+    # on the MXU, and bf16 of an ~840px pixel coordinate is ~3px off —
+    # enough to scatter GT into the wrong 8px coarse cell.  K=3
+    # contractions; the pin costs nothing.
+    HI = jax.lax.Precision.HIGHEST
     K0_inv = jnp.linalg.inv(K0)                               # [B, 3, 3]
-    kpts0_cam = jnp.einsum("bij,blj->bli", K0_inv, kpts0_h)   # [B, L, 3]
+    kpts0_cam = jnp.einsum("bij,blj->bli", K0_inv, kpts0_h,
+                           precision=HI)                      # [B, L, 3]
 
     R = T_0to1[:, :3, :3]
     t = T_0to1[:, :3, 3]
-    w_cam = jnp.einsum("bij,blj->bli", R, kpts0_cam) + t[:, None, :]
+    w_cam = jnp.einsum("bij,blj->bli", R, kpts0_cam,
+                       precision=HI) + t[:, None, :]
     w_depth_computed = w_cam[..., 2]
 
-    w_h = jnp.einsum("bij,blj->bli", K1, w_cam)               # [B, L, 3]
+    w_h = jnp.einsum("bij,blj->bli", K1, w_cam, precision=HI)  # [B, L, 3]
     w_kpts0 = w_h[..., :2] / (w_h[..., 2:3] + 1e-4)
 
     h, w = depth1.shape[1], depth1.shape[2]
