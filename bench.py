@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--pallas", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="use the fused Pallas matching kernel")
+    ap.add_argument("--fine-pallas", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="use the fused Pallas per-window fine attention")
     ap.add_argument("--fold-bn", action=argparse.BooleanOptionalAction,
                     default=False,
                     help="fold backbone BatchNorms into conv kernels "
@@ -45,7 +48,8 @@ def main():
     iters, warmup = args.iters, 5
 
     ap_over = {"loftr": {"dtype": args.dtype,
-                         "match_coarse": {"use_pallas": args.pallas}}}
+                         "match_coarse": {"use_pallas": args.pallas},
+                         "fine": {"use_pallas": args.fine_pallas}}}
     cfg = get_config("indoor_ds", ap_over)
     model = LoFTR(cfg.loftr)
     rng = np.random.RandomState(0)

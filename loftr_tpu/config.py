@@ -87,6 +87,9 @@ class FineConfig:
     nhead: int = 8
     layer_names: tuple = ("self", "cross")
     attention: str = "linear"
+    # fused Pallas per-window attention (inference only; training keeps the
+    # differentiable XLA path) — see ops/pallas/window_attention.py
+    use_pallas: bool = False
 
 
 @dataclass(frozen=True)

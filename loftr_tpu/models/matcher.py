@@ -167,7 +167,8 @@ class LoFTR(nn.Module):
         f1 = win1.reshape(B * K, W * W, d_f)
         f0, f1 = LocalFeatureTransformer(
             d_f, cfg.fine.nhead, cfg.fine.layer_names, cfg.fine.attention,
-            dt, name="loftr_fine")(f0, f1)
+            dt, fused_window_attn=cfg.fine.use_pallas and not train,
+            name="loftr_fine")(f0, f1)
         f0 = f0.reshape(B, K, W * W, d_f)
         f1 = f1.reshape(B, K, W * W, d_f)
 

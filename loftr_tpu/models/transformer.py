@@ -36,6 +36,10 @@ class LoFTREncoderLayer(nn.Module):
     nhead: int
     attention: str = "linear"  # ['linear', 'full']
     dtype: object = None
+    # fused Pallas per-window attention (fine stage, inference): requires
+    # 'linear', no masks, L == S small windows — see
+    # ops/pallas/window_attention.py
+    fused_window_attn: bool = False
 
     @nn.compact
     def __call__(self, x, source,
@@ -48,13 +52,21 @@ class LoFTREncoderLayer(nn.Module):
 
         dt = self.dtype
         q = dense(self.d_model, name="q_proj", dtype=dt)(x)
-        q = q.reshape(b, l, h, d)
         k = dense(self.d_model, name="k_proj", dtype=dt)(source)
-        k = k.reshape(b, -1, h, d)
         v = dense(self.d_model, name="v_proj", dtype=dt)(source)
-        v = v.reshape(b, -1, h, d)
-        attn = linear_attention if self.attention == "linear" else full_attention
-        message = attn(q, k, v, q_mask=x_mask, kv_mask=source_mask)
+        if (self.fused_window_attn and self.attention == "linear"
+                and x_mask is None and source_mask is None
+                and x.shape == source.shape):
+            from loftr_tpu.ops.pallas.window_attention import \
+                window_linear_attention
+            message = window_linear_attention(q, k, v, nheads=h)
+        else:
+            q = q.reshape(b, l, h, d)
+            k = k.reshape(b, -1, h, d)
+            v = v.reshape(b, -1, h, d)
+            attn = (linear_attention if self.attention == "linear"
+                    else full_attention)
+            message = attn(q, k, v, q_mask=x_mask, kv_mask=source_mask)
         message = dense(self.d_model, name="merge",
                         dtype=dt)(message.reshape(b, l, c))
         # LayerNorm in fp32 (dtype=float32 promotes internally), cast back
@@ -77,6 +89,7 @@ class LocalFeatureTransformer(nn.Module):
     layer_names: Sequence[str]
     attention: str = "linear"
     dtype: object = None
+    fused_window_attn: bool = False  # see LoFTREncoderLayer
 
     @nn.compact
     def __call__(self, feat0, feat1,
@@ -88,6 +101,7 @@ class LocalFeatureTransformer(nn.Module):
         for idx, name in enumerate(self.layer_names):
             layer = LoFTREncoderLayer(self.d_model, self.nhead,
                                       self.attention, self.dtype,
+                                      self.fused_window_attn,
                                       name=f"layer_{idx}")
             if name == "self":
                 if same_shape and masks_same:

@@ -39,6 +39,9 @@ def parse_args():
     p.add_argument("--steps-per-epoch", type=int, default=0,
                    help="override; default = n_scenes*n_samples/bs")
     p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--tensorboard", action="store_true",
+                   help="mirror scalars/figures into TensorBoard event "
+                        "files under <ckpt-dir>/logs/tb")
     p.add_argument("--n-samples-per-subset", type=int, default=0,
                    help="override TRAINER.N_SAMPLES_PER_SUBSET")
     p.add_argument("--config-json", default=None,
@@ -120,7 +123,8 @@ def main():
     mgr = CheckpointManager(os.path.abspath(args.ckpt_dir))
 
     from loftr_tpu.utils.logging import MetricsLogger
-    logger = MetricsLogger(log_dir=os.path.join(args.ckpt_dir, "logs"))
+    logger = MetricsLogger(log_dir=os.path.join(args.ckpt_dir, "logs"),
+                           tensorboard=args.tensorboard)
 
     # preemption-safe checkpointing (SURVEY.md §5.3): on SIGTERM/SIGINT save
     # the current state before exiting so --resume continues seamlessly
