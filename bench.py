@@ -31,6 +31,9 @@ def main():
     # ~222/s on the same chip); HBM fits it since the fused matcher never
     # materializes [L, S]
     ap.add_argument("--iters", type=int, default=40)
+    ap.add_argument("--n-inner", type=int, default=4,
+                    help="distinct batches unrolled inside one jitted "
+                         "program (amortizes relay dispatch latency)")
     ap.add_argument("--pallas", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="use the fused Pallas matching kernel")
@@ -73,7 +76,7 @@ def main():
     # and consecutive dispatches do not pipeline, so sustained throughput is
     # measured by processing N_INNER distinct batches inside ONE jitted
     # program (unrolled; lax.scan-of-model overloads the remote compiler).
-    N_INNER = 4
+    N_INNER = args.n_inner
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
                            *[make_batch(s) for s in range(N_INNER)])
 

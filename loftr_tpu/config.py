@@ -53,6 +53,13 @@ class AttentionConfig:
     layer_names: tuple = ("self", "cross") * 4
     attention: str = "linear"  # ['linear', 'full']
     temp_bug_fix: bool = True  # position_encoding.py:25-28
+    # head-fused linear attention: same math as 'linear', restructured so
+    # every matmul runs at full MXU width (ops/attention.py::
+    # linear_attention_fused_heads).  MEASURED SLOWER end-to-end at the
+    # coarse scale (v5e 640x480: 172 vs 221 pairs/s — the 8x flop overhead
+    # exceeds XLA's per-head tile waste at L=4800); kept as an option for
+    # shapes where per-head outputs are tiny relative to L.
+    fused_heads: bool = False
 
 
 @dataclass(frozen=True)

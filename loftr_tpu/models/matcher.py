@@ -80,7 +80,9 @@ class LoFTR(nn.Module):
         # [3] coarse transformer (loftr.py:64)
         feat_c0, feat_c1 = LocalFeatureTransformer(
             d_c, cfg.coarse.nhead, cfg.coarse.layer_names,
-            cfg.coarse.attention, dt, name="loftr_coarse")(
+            cfg.coarse.attention, dt,
+            fused_heads=getattr(cfg.coarse, "fused_heads", False),
+            name="loftr_coarse")(
                 feat_c0, feat_c1, mask_c0, mask_c1)
 
         # [4] coarse matching (loftr.py:67 -> coarse_matching.py:87-148)

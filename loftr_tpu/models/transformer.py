@@ -21,7 +21,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from loftr_tpu.ops.attention import full_attention, linear_attention
+from loftr_tpu.ops.attention import (full_attention, linear_attention,
+                                     linear_attention_fused_heads)
 
 
 def dense(features: int, use_bias: bool = False, name: str | None = None,
@@ -40,6 +41,9 @@ class LoFTREncoderLayer(nn.Module):
     # 'linear', no masks, L == S small windows — see
     # ops/pallas/window_attention.py
     fused_window_attn: bool = False
+    # head-fused linear attention (XLA, train+eval): exact same math,
+    # full-MXU-width matmuls — see ops/attention.py
+    fused_heads: bool = False
 
     @nn.compact
     def __call__(self, x, source,
@@ -64,8 +68,11 @@ class LoFTREncoderLayer(nn.Module):
             q = q.reshape(b, l, h, d)
             k = k.reshape(b, -1, h, d)
             v = v.reshape(b, -1, h, d)
-            attn = (linear_attention if self.attention == "linear"
-                    else full_attention)
+            if self.attention == "linear":
+                attn = (linear_attention_fused_heads if self.fused_heads
+                        else linear_attention)
+            else:
+                attn = full_attention
             message = attn(q, k, v, q_mask=x_mask, kv_mask=source_mask)
         message = dense(self.d_model, name="merge",
                         dtype=dt)(message.reshape(b, l, c))
@@ -90,6 +97,7 @@ class LocalFeatureTransformer(nn.Module):
     attention: str = "linear"
     dtype: object = None
     fused_window_attn: bool = False  # see LoFTREncoderLayer
+    fused_heads: bool = False        # see LoFTREncoderLayer
 
     @nn.compact
     def __call__(self, feat0, feat1,
@@ -102,6 +110,7 @@ class LocalFeatureTransformer(nn.Module):
             layer = LoFTREncoderLayer(self.d_model, self.nhead,
                                       self.attention, self.dtype,
                                       self.fused_window_attn,
+                                      self.fused_heads,
                                       name=f"layer_{idx}")
             if name == "self":
                 if same_shape and masks_same:

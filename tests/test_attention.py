@@ -79,3 +79,25 @@ def test_full_attention_mask_excludes_keys():
     got_trunc = np.asarray(full_attention(jnp.asarray(q), jnp.asarray(k[:, :3]),
                                           jnp.asarray(v[:, :3])))
     np.testing.assert_allclose(got, got_trunc, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_heads_matches_oracle():
+    """linear_attention_fused_heads is the same math as linear_attention
+    (head-block-diagonal KV restructuring), incl. masked rows."""
+    import numpy as np
+    import jax.numpy as jnp
+    from loftr_tpu.ops.attention import (linear_attention,
+                                         linear_attention_fused_heads)
+    r = np.random.RandomState(0)
+    B, L, S, H, D = 3, 40, 56, 8, 32
+    q = jnp.asarray(r.randn(B, L, H, D), jnp.float32)
+    k = jnp.asarray(r.randn(B, S, H, D), jnp.float32)
+    v = jnp.asarray(r.randn(B, S, H, D), jnp.float32)
+    qm = jnp.asarray(r.rand(B, L) > 0.2)
+    km = jnp.asarray(r.rand(B, S) > 0.2)
+    for masks in ((None, None), (qm, km)):
+        want = linear_attention(q, k, v, q_mask=masks[0], kv_mask=masks[1])
+        got = linear_attention_fused_heads(q, k, v, q_mask=masks[0],
+                                           kv_mask=masks[1])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
