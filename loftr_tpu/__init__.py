@@ -10,10 +10,12 @@ from loftr_tpu.config import Config, get_config, default_config
 from loftr_tpu.structs import (CoarseMatches, MatchInput, MatchResult,
                                Supervision)
 from loftr_tpu.models.matcher import LoFTR
+from loftr_tpu.api import match_pair, load_matcher
 
 __all__ = [
     "Config", "get_config", "default_config",
     "LoFTR", "MatchInput", "MatchResult", "CoarseMatches", "Supervision",
+    "match_pair", "load_matcher",
 ]
 
 __version__ = "0.1.0"

@@ -184,6 +184,15 @@ class TrainerConfig:
     seed: int = 66
     max_epochs: int = 30
     steps_per_epoch: int = 0  # required for epoch-interval schedules under jit
+    # gradient accumulation (TPU-native addition; no reference counterpart):
+    # the canonical recipe is bs=64 over 32-64 GPUs (docs/TRAINING.md:60) —
+    # accum_steps recovers the effective batch on small slices.  The LR
+    # scaling rule counts the EFFECTIVE batch (accum included); the
+    # optimizer applies once per accum_steps micro-batches
+    # (optax.MultiSteps).  NB: BatchNorm statistics update per micro-batch
+    # (EMA over smaller batches than the reference's synced-BN step) — use
+    # backbone.norm='group' if that matters at tiny micro-batches.
+    accum_steps: int = 1
 
 
 @dataclass(frozen=True)
@@ -204,8 +213,10 @@ class Config:
     def scaled_lr(self, world_size: int, batch_size_per_device: int) -> tuple:
         """Linear LR scaling rule (reference train.py:70-77).
 
+        The effective batch includes gradient accumulation.
         Returns (true_lr, warmup_step_scaled)."""
-        true_bs = world_size * batch_size_per_device
+        true_bs = (world_size * batch_size_per_device
+                   * max(1, self.trainer.accum_steps))
         scaling = true_bs / self.trainer.canonical_bs
         return self.trainer.canonical_lr * scaling, int(
             self.trainer.warmup_step / max(scaling, 1e-12))

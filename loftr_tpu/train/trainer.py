@@ -51,6 +51,13 @@ class Trainer:
         self.model = LoFTR(config.loftr)
         true_lr, warmup = config.scaled_lr(world_size, batch_size_per_device)
         self.tx = build_optimizer(config.trainer, true_lr, warmup)
+        # gradient accumulation: apply the optimizer once per accum_steps
+        # micro-batches (grads averaged by MultiSteps); the inner schedule
+        # (warmup/decay) advances once per REAL update, matching the
+        # reference's per-optimizer-step warmup (lightning_loftr.py:60-80)
+        self._accum = max(1, config.trainer.accum_steps)
+        if self._accum > 1:
+            self.tx = optax.MultiSteps(self.tx, every_k_schedule=self._accum)
         # per-step LR in the scalars (LearningRateMonitor equivalent,
         # train.py:98)
         from loftr_tpu.train.optim import lr_schedule
@@ -97,7 +104,9 @@ class Trainer:
         new_params = optax.apply_updates(state.params, updates)
         scalars = dict(scalars)
         scalars["grad_norm"] = optax.global_norm(grads)
-        scalars["lr"] = self._lr_sched(state.step)
+        # state.step counts micro-steps; the schedule advances per real
+        # optimizer update (every accum_steps micro-steps)
+        scalars["lr"] = self._lr_sched(state.step // self._accum)
         new_state = TrainState(step=state.step + 1, params=new_params,
                                batch_stats=new_stats, opt_state=new_opt,
                                rng=rng)

@@ -202,3 +202,52 @@ def test_trainer_val_step():
     out, scalars = trainer.val_step(state, batch)
     assert np.isfinite(float(scalars["loss"]))
     assert out.mkpts0_f.shape[0] == 2
+
+
+def test_gradient_accumulation():
+    """accum_steps=2: params frozen on micro-step 1, updated on micro-step
+    2; LR scaling counts the effective batch (config.scaled_lr)."""
+    from loftr_tpu.train.trainer import Trainer
+    cfg = _small_cfg()
+    # warmup_step=0: linear warmup starts at LR=0 (warmup_ratio default 0),
+    # which would make the first REAL update a zero update and mask the
+    # thing under test
+    cfg = cfg.replaced({"trainer": {"accum_steps": 2, "warmup_step": 0,
+                                    "steps_per_epoch": 4}})
+    # effective-batch LR scaling: accum doubles the effective batch
+    lr2, _ = cfg.scaled_lr(1, 2)
+    lr1, _ = cfg.replaced({"trainer": {"accum_steps": 1}}).scaled_lr(1, 2)
+    assert abs(lr2 - 2 * lr1) < 1e-12
+
+    inp = _train_inputs()
+    tr = Trainer(cfg, world_size=1, batch_size_per_device=1)
+    state = tr.init_state(jax.random.PRNGKey(0), inp)
+    p0 = jax.tree.map(lambda x: np.asarray(x), state.params)
+    state1, _ = tr.train_step(state, inp)
+    # first micro-step: gradients accumulated, params NOT applied
+    deltas = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        state1.params, p0)
+    assert max(jax.tree.leaves(deltas)) == 0.0
+    state2, _ = tr.train_step(state1, inp)
+    deltas = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        state2.params, p0)
+    assert max(jax.tree.leaves(deltas)) > 0.0
+
+
+def test_match_pair_convenience_api():
+    """loftr_tpu.match_pair: the reference's 3-key contract
+    (demo_loftr.py:160-187 / kornia one-liner, README.md:31-44)."""
+    from loftr_tpu import match_pair, load_matcher
+    r = np.random.RandomState(0)
+    img0 = (r.rand(64, 64) * 255).astype(np.uint8)
+    img1 = (r.rand(64, 64, 3) * 255).astype(np.uint8)  # color accepted
+    vs = load_matcher(preset="indoor_ds")
+    out = match_pair(img0, img1, vs, dtype="float32", use_pallas=False)
+    assert set(out) == {"mkpts0", "mkpts1", "mconf"}
+    assert out["mkpts0"].shape == out["mkpts1"].shape
+    assert out["mkpts0"].shape[0] == out["mconf"].shape[0]
+    # untrained net on noise: any returned match must at least be in-bounds
+    if len(out["mkpts0"]):
+        assert out["mkpts0"].min() >= 0 and out["mkpts0"].max() < 64

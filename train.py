@@ -35,6 +35,11 @@ def parse_args():
     p.add_argument("--ckpt-dir", default="logs/ckpt")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=66)
+    p.add_argument("--accum-steps", type=int, default=1,
+                   help="gradient accumulation micro-steps per optimizer "
+                        "update (recovers the canonical bs=64 recipe on "
+                        "small slices; LR scaling counts the effective "
+                        "batch)")
     p.add_argument("--img-resize", type=int, default=840)
     p.add_argument("--steps-per-epoch", type=int, default=0,
                    help="override; default = n_scenes*n_samples/bs")
@@ -112,10 +117,13 @@ def main():
         dataset, n_samples, cfg.trainer.sb_subset_sample_replacement,
         cfg.trainer.sb_subset_shuffle, cfg.trainer.sb_repeat,
         seed=cfg.trainer.seed + rank)
+    # steps_per_epoch counts OPTIMIZER updates (epoch-interval schedules key
+    # off it); with accumulation an epoch has micro_steps/accum real updates
     steps_per_epoch = args.steps_per_epoch or max(
-        1, len(sampler) // args.batch_size)
+        1, len(sampler) // args.batch_size // max(1, args.accum_steps))
     cfg = cfg.replaced({"trainer": {"steps_per_epoch": steps_per_epoch,
-                                    "seed": args.seed}})
+                                    "seed": args.seed,
+                                    "accum_steps": args.accum_steps}})
 
     mesh = make_mesh()
     trainer = Trainer(cfg, world_size=n_dev,
