@@ -31,6 +31,9 @@ def main():
     # ~222/s on the same chip); HBM fits it since the fused matcher never
     # materializes [L, S]
     ap.add_argument("--iters", type=int, default=40)
+    ap.add_argument("--res", default="640x480",
+                    help="WxH input resolution (640x480 ScanNet flagship; "
+                         "840x840 = MegaDepth eval size)")
     ap.add_argument("--n-inner", type=int, default=4,
                     help="distinct batches unrolled inside one jitted "
                          "program (amortizes relay dispatch latency)")
@@ -47,7 +50,8 @@ def main():
                          "- XLA fuses eval BN into the conv epilogue)")
     args = ap.parse_args()
 
-    B, H, W = args.batch, 480, 640
+    W, H = (int(t) for t in args.res.split("x"))
+    B = args.batch
     iters, warmup = args.iters, 5
 
     ap_over = {"loftr": {"dtype": args.dtype,
@@ -100,7 +104,7 @@ def main():
 
     pairs_per_s = B * N_INNER * reps / dt
     result = {
-        "metric": "loftr_ds_640x480_pairs_per_s",
+        "metric": f"loftr_ds_{W}x{H}_pairs_per_s",
         "value": round(pairs_per_s, 2),
         "unit": "pairs/s/chip",
         "vs_baseline": round(pairs_per_s / REFERENCE_PAIRS_PER_S, 2),
