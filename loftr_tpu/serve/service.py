@@ -1,0 +1,354 @@
+"""Micro-batching matcher service (production serving path).
+
+Design (TPU-first; no reference counterpart — the reference only ships a
+single-stream demo, /root/reference/demo/demo_loftr.py):
+
+- **Static shapes everywhere.** Requests are resized (aspect-preserving,
+  /8-divisible) and bottom-right zero-padded into a fixed set of resolution
+  *buckets* with validity masks — the model's MegaDepth path
+  (data/io.py, megadepth.py:75-89 semantics) — so XLA compiles one program
+  per (bucket, batch rung) and never again.
+- **Batch rungs.** A pending group of n requests is padded up to the
+  smallest rung in `batch_sizes` (default 1,2,4,8,...): bounded compile
+  count, and padding rows are zero images whose outputs are dropped.
+- **Pipelined dispatch.** JAX dispatch is async: the batcher thread
+  assembles + enqueues device work and immediately continues; a separate
+  completion thread blocks on device->host fetches and resolves futures.
+  A bounded in-flight queue (depth 2) keeps the chip busy without
+  unbounded HBM growth and applies back-pressure to the batcher.
+- **Per-request geometry.** Each request carries its own resize scale;
+  keypoints come back in original-image pixel coordinates via the model's
+  scale0/scale1 inputs (ops/matching.py::matches_to_kpts).
+
+Latency/throughput knobs: `flush_ms` (max time the oldest request waits for
+batch-mates), `max_batch`, `buckets`, `queue_depth`.
+"""
+from __future__ import annotations
+
+import collections
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from loftr_tpu.data.io import get_divisible_wh
+
+Bucket = Tuple[int, int]  # (H, W), both divisible by 8
+
+
+def _to_gray(img) -> np.ndarray:
+    """HxW / HxWx1 / HxWx3(BGR) uint8/float -> HxW float32 in [0, 1]."""
+    a = np.asarray(img)
+    if a.ndim == 3 and a.shape[-1] == 3:
+        a = a @ np.asarray([0.114, 0.587, 0.299], a.dtype)
+    a = a.reshape(a.shape[:2])
+    if a.dtype == np.uint8:
+        a = a.astype(np.float32) / 255.0
+    return np.asarray(a, np.float32)
+
+
+def pick_bucket(buckets: Sequence[Bucket], shapes: Sequence[Tuple[int, int]]
+                ) -> Bucket:
+    """Smallest-area bucket that holds every (h, w) in `shapes` at native
+    resolution; if none fits, the largest bucket (images are downscaled)."""
+    order = sorted(buckets, key=lambda b: b[0] * b[1])
+    for bh, bw in order:
+        if all(h <= bh and w <= bw for h, w in shapes):
+            return (bh, bw)
+    return order[-1]
+
+
+def preprocess_to_bucket(img: np.ndarray, bucket: Bucket):
+    """Fit a grayscale float image into `bucket`: aspect-preserving resize
+    (never upscales), floor to /8-divisible, bottom-right zero-pad.
+
+    Returns (padded [bh, bw] float32, coarse mask [bh/8, bw/8] bool,
+    scale [2] float32 = [w/w_new, h/h_new]) — the contract of
+    read_megadepth_gray (data/io.py) for an in-memory image.
+    """
+    import cv2
+
+    bh, bw = bucket
+    h, w = img.shape
+    s = min(bh / h, bw / w, 1.0)
+    w_new, h_new = get_divisible_wh(int(w * s), int(h * s), 8)
+    w_new, h_new = max(w_new, 8), max(h_new, 8)
+    if (w_new, h_new) != (w, h):
+        img = cv2.resize(img, (w_new, h_new))
+    scale = np.array([w / w_new, h / h_new], np.float32)
+    padded = np.zeros((bh, bw), np.float32)
+    padded[:h_new, :w_new] = img
+    mask = np.zeros((bh // 8, bw // 8), bool)
+    mask[: h_new // 8, : w_new // 8] = True
+    return padded, mask, scale
+
+
+@dataclass
+class _Request:
+    img0: np.ndarray       # [bh, bw] float32, padded
+    img1: np.ndarray
+    mask0: np.ndarray      # [bh/8, bw/8] bool
+    mask1: np.ndarray
+    scale0: np.ndarray     # [2] float32
+    scale1: np.ndarray
+    min_conf: float
+    future: Future
+    t_submit: float
+
+
+@dataclass
+class ServiceStats:
+    requests: int = 0
+    batches: int = 0
+    padded_rows: int = 0
+    batch_hist: Dict[int, int] = field(default_factory=dict)
+    latencies_ms: collections.deque = field(
+        default_factory=lambda: collections.deque(maxlen=2048))
+
+    def snapshot(self) -> dict:
+        lat = sorted(self.latencies_ms)
+        pct = (lambda p: lat[min(len(lat) - 1, int(p * len(lat)))]
+               if lat else None)
+        return {
+            "requests": self.requests,
+            "batches": self.batches,
+            "padded_rows": self.padded_rows,
+            "batch_hist": dict(self.batch_hist),
+            "latency_ms_p50": pct(0.50),
+            "latency_ms_p99": pct(0.99),
+        }
+
+
+class MatchingService:
+    """Thread-safe micro-batching wrapper around one LoFTR matcher.
+
+    >>> svc = MatchingService(variables)          # doctest: +SKIP
+    >>> fut = svc.submit(img0, img1)              # doctest: +SKIP
+    >>> fut.result()["mkpts0"]                    # doctest: +SKIP
+    """
+
+    def __init__(self, variables, preset: str = "indoor_ds",
+                 dtype: str = "bfloat16", use_pallas: bool = True,
+                 overrides: Optional[dict] = None,
+                 buckets: Sequence[Bucket] = ((480, 640), (840, 840)),
+                 batch_sizes: Sequence[int] = (1, 2, 4, 8),
+                 flush_ms: float = 5.0, queue_depth: int = 2):
+        import jax
+        from loftr_tpu.config import get_config
+        from loftr_tpu.models.matcher import LoFTR
+
+        for bh, bw in buckets:
+            if bh % 8 or bw % 8:
+                raise ValueError(f"bucket {(bh, bw)} not /8-divisible")
+        ov = {"loftr": {"dtype": dtype,
+                        "match_coarse": {"use_pallas": use_pallas},
+                        "fine": {"use_pallas": use_pallas}}}
+        if overrides:
+            # caller overrides win over the serving defaults
+            ov_loftr = dict(ov["loftr"])
+            for k, v in overrides.get("loftr", {}).items():
+                if isinstance(v, dict) and isinstance(ov_loftr.get(k), dict):
+                    ov_loftr[k] = {**ov_loftr[k], **v}
+                else:
+                    ov_loftr[k] = v
+            ov = {**overrides, "loftr": ov_loftr}
+        cfg = get_config(preset, ov)
+        self._model = LoFTR(cfg.loftr)
+        self._apply = jax.jit(self._model.apply)
+        self._variables = variables
+        self.buckets = tuple((int(h), int(w)) for h, w in buckets)
+        self.batch_sizes = tuple(sorted(set(int(b) for b in batch_sizes)))
+        self.max_batch = self.batch_sizes[-1]
+        self.flush_s = flush_ms / 1000.0
+        self.stats = ServiceStats()
+
+        self._lock = threading.Condition()
+        self._pending: Dict[Bucket, List[_Request]] = {
+            b: [] for b in self.buckets}
+        self._inflight: "collections.deque" = collections.deque()
+        self._inflight_sem = threading.Semaphore(queue_depth)
+        self._inflight_cv = threading.Condition()
+        self._closed = False
+        self._batcher = threading.Thread(
+            target=self._batch_loop, name="loftr-serve-batcher", daemon=True)
+        self._completer = threading.Thread(
+            target=self._complete_loop, name="loftr-serve-completer",
+            daemon=True)
+        self._batcher.start()
+        self._completer.start()
+
+    # ------------------------------------------------------------- public
+    def submit(self, img0, img1, min_conf: float = 0.0,
+               bucket: Optional[Bucket] = None) -> Future:
+        """Enqueue one pair; the Future resolves to
+        dict(mkpts0 [M,2], mkpts1 [M,2], mconf [M]) in original-image px."""
+        if self._closed:
+            raise RuntimeError("service is closed")
+        g0, g1 = _to_gray(img0), _to_gray(img1)
+        b = bucket or pick_bucket(self.buckets, [g0.shape, g1.shape])
+        if b not in self._pending:
+            raise ValueError(f"unknown bucket {b}")
+        p0, m0, s0 = preprocess_to_bucket(g0, b)
+        p1, m1, s1 = preprocess_to_bucket(g1, b)
+        fut: Future = Future()
+        req = _Request(p0, p1, m0, m1, s0, s1, min_conf, fut, time.time())
+        with self._lock:
+            self._pending[b].append(req)
+            self._lock.notify_all()
+        return fut
+
+    def match(self, img0, img1, min_conf: float = 0.0) -> dict:
+        """Blocking convenience wrapper around :meth:`submit`."""
+        return self.submit(img0, img1, min_conf).result()
+
+    def warmup(self, batch_sizes: Optional[Sequence[int]] = None) -> None:
+        """Pre-compile every (bucket, rung) program (first-request latency
+        on TPU is dominated by compilation otherwise)."""
+        import jax
+        import jax.numpy as jnp
+        from loftr_tpu.structs import MatchInput
+
+        for b in self.buckets:
+            bh, bw = b
+            for n in (batch_sizes or self.batch_sizes):
+                inp = MatchInput(
+                    image0=jnp.zeros((n, bh, bw, 1), jnp.float32),
+                    image1=jnp.zeros((n, bh, bw, 1), jnp.float32),
+                    mask0=jnp.ones((n, bh // 8, bw // 8), bool),
+                    mask1=jnp.ones((n, bh // 8, bw // 8), bool),
+                    scale0=jnp.ones((n, 2), jnp.float32),
+                    scale1=jnp.ones((n, 2), jnp.float32))
+                jax.block_until_ready(self._apply(self._variables, inp))
+
+    def close(self, timeout: float = 30.0) -> None:
+        with self._lock:
+            self._closed = True
+            self._lock.notify_all()
+        with self._inflight_cv:
+            self._inflight_cv.notify_all()
+        self._batcher.join(timeout)
+        self._completer.join(timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ------------------------------------------------------- batcher side
+    def _take_group(self) -> Optional[Tuple[Bucket, List[_Request]]]:
+        """Block until a dispatchable group exists (full rung, or the oldest
+        request aged past flush_ms); None when closing and drained."""
+        with self._lock:
+            while True:
+                oldest_b, oldest_t = None, None
+                for b, reqs in self._pending.items():
+                    if len(reqs) >= self.max_batch:
+                        group = reqs[: self.max_batch]
+                        del reqs[: self.max_batch]
+                        return b, group
+                    if reqs and (oldest_t is None
+                                 or reqs[0].t_submit < oldest_t):
+                        oldest_b, oldest_t = b, reqs[0].t_submit
+                if oldest_b is not None:
+                    wait = oldest_t + self.flush_s - time.time()
+                    if wait <= 0 or self._closed:
+                        group = self._pending[oldest_b][:]
+                        self._pending[oldest_b].clear()
+                        return oldest_b, group
+                    self._lock.wait(wait)
+                elif self._closed:
+                    return None
+                else:
+                    self._lock.wait()
+
+    def _batch_loop(self) -> None:
+        import jax.numpy as jnp
+        from loftr_tpu.structs import MatchInput
+
+        while True:
+            item = self._take_group()
+            if item is None:
+                with self._inflight_cv:
+                    self._inflight.append(None)  # completer shutdown
+                    self._inflight_cv.notify_all()
+                return
+            b, group = item
+            n = len(group)
+            rung = next(r for r in self.batch_sizes if r >= n) \
+                if n <= self.max_batch else self.max_batch
+            bh, bw = b
+
+            def stack(attr, pad_shape, dtype):
+                rows = [getattr(r, attr) for r in group]
+                rows += [np.zeros(pad_shape, dtype)] * (rung - n)
+                return np.stack(rows)
+
+            self._inflight_sem.acquire()  # back-pressure: bounded in-flight
+            try:
+                inp = MatchInput(
+                    image0=jnp.asarray(
+                        stack("img0", (bh, bw), np.float32)[..., None]),
+                    image1=jnp.asarray(
+                        stack("img1", (bh, bw), np.float32)[..., None]),
+                    mask0=jnp.asarray(stack("mask0", (bh // 8, bw // 8),
+                                            bool)),
+                    mask1=jnp.asarray(stack("mask1", (bh // 8, bw // 8),
+                                            bool)),
+                    scale0=jnp.asarray(
+                        stack("scale0", (2,), np.float32)),
+                    scale1=jnp.asarray(
+                        stack("scale1", (2,), np.float32)))
+                out = self._apply(self._variables, inp)  # async dispatch
+            except Exception as e:  # compile/dispatch failure -> fail batch
+                self._inflight_sem.release()
+                for r in group:
+                    r.future.set_exception(e)
+                continue
+            with self._inflight_cv:
+                self._inflight.append((out, group))
+                self._inflight_cv.notify_all()
+            with self._lock:
+                self.stats.batches += 1
+                self.stats.padded_rows += rung - n
+                self.stats.batch_hist[n] = \
+                    self.stats.batch_hist.get(n, 0) + 1
+
+    # ------------------------------------------------------ completer side
+    def _complete_loop(self) -> None:
+        while True:
+            with self._inflight_cv:
+                while not self._inflight:
+                    self._inflight_cv.wait()
+                item = self._inflight.popleft()
+            if item is None:
+                return
+            out, group = item
+            try:
+                # device->host fetch blocks here, off the batcher thread
+                valid = np.asarray(out.valid)
+                conf = np.asarray(out.coarse.mconf, np.float32)
+                k0 = np.asarray(out.mkpts0_f, np.float32)
+                k1 = np.asarray(out.mkpts1_f, np.float32)
+            except Exception as e:
+                for r in group:
+                    r.future.set_exception(e)
+                self._inflight_sem.release()
+                continue
+            self._inflight_sem.release()
+            now = time.time()
+            for i, r in enumerate(group):
+                keep = valid[i] & (conf[i] >= r.min_conf)
+                r.future.set_result({
+                    "mkpts0": k0[i][keep],
+                    "mkpts1": k1[i][keep],
+                    "mconf": conf[i][keep],
+                })
+            with self._lock:
+                self.stats.requests += len(group)
+                for r in group:
+                    self.stats.latencies_ms.append(
+                        (now - r.t_submit) * 1000.0)

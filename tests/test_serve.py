@@ -1,0 +1,144 @@
+"""Serving subsystem tests: bucket selection, preprocessing geometry,
+micro-batching correctness (results match direct model calls), flush/rung
+behavior, error propagation, and stats accounting.
+
+The reference has no serving layer (closest surface:
+/root/reference/demo/demo_loftr.py single-stream demo) — this is new scope.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from loftr_tpu import LoFTR, MatchInput, get_config
+from loftr_tpu.serve import (MatchingService, pick_bucket,
+                             preprocess_to_bucket)
+
+
+SMALL = {
+    "loftr": {
+        "dtype": "float32",
+        "backbone": {"initial_dim": 8, "block_dims": (8, 12, 16)},
+        "coarse": {"d_model": 16, "nhead": 2,
+                   "layer_names": ("self", "cross")},
+        "fine": {"d_model": 8, "nhead": 2,
+                 "layer_names": ("self", "cross"), "window_size": 5},
+        "match_coarse": {"max_matches": 16, "use_pallas": False},
+    }
+}
+
+
+def _service(**kw):
+    cfg = get_config("default", SMALL)
+    model = LoFTR(cfg.loftr)
+    inp = MatchInput(
+        image0=jnp.zeros((1, 64, 64, 1), jnp.float32),
+        image1=jnp.zeros((1, 64, 64, 1), jnp.float32))
+    variables = model.init(jax.random.PRNGKey(0), inp)
+    defaults = dict(preset="default", dtype="float32", use_pallas=False,
+                    overrides=SMALL, buckets=((64, 64), (96, 96)),
+                    batch_sizes=(1, 2, 4), flush_ms=20.0)
+    defaults.update(kw)
+    return MatchingService(variables, **defaults), variables, model
+
+
+def test_pick_bucket():
+    buckets = ((64, 64), (96, 128))
+    assert pick_bucket(buckets, [(60, 60), (64, 64)]) == (64, 64)
+    assert pick_bucket(buckets, [(60, 100)]) == (96, 128)
+    # nothing fits -> largest (downscale)
+    assert pick_bucket(buckets, [(500, 500)]) == (96, 128)
+
+
+def test_preprocess_to_bucket_geometry():
+    img = np.random.RandomState(0).rand(48, 56).astype(np.float32)
+    padded, mask, scale = preprocess_to_bucket(img, (64, 64))
+    assert padded.shape == (64, 64)
+    assert mask.shape == (8, 8)
+    # native fit: no resize, scale 1, mask covers ceil-free region
+    np.testing.assert_allclose(scale, [1.0, 1.0])
+    assert mask[:48 // 8, :56 // 8].all()
+    assert not mask[48 // 8:, :].any() and not mask[:, 56 // 8:].any()
+    # content preserved in the top-left corner
+    np.testing.assert_allclose(padded[:48, :56], img)
+    assert (padded[48:, :] == 0).all()
+
+    # downscale path: large image lands inside the bucket with scale > 1
+    big = np.random.RandomState(1).rand(128, 160).astype(np.float32)
+    padded, mask, scale = preprocess_to_bucket(big, (64, 64))
+    assert padded.shape == (64, 64)
+    assert (scale >= 1.0).all()
+
+
+def test_service_matches_direct_call():
+    svc, variables, model = _service()
+    rng = np.random.RandomState(3)
+    img0 = rng.rand(64, 64).astype(np.float32)
+    img1 = rng.rand(64, 64).astype(np.float32)
+    with svc:
+        res = svc.match(img0, img1)
+    # direct single-pair forward on the same padded inputs
+    inp = MatchInput(
+        image0=jnp.asarray(img0)[None, :, :, None],
+        image1=jnp.asarray(img1)[None, :, :, None],
+        mask0=jnp.ones((1, 8, 8), bool), mask1=jnp.ones((1, 8, 8), bool),
+        scale0=jnp.ones((1, 2)), scale1=jnp.ones((1, 2)))
+    out = model.apply(variables, inp)
+    valid = np.asarray(out.valid)[0]
+    np.testing.assert_allclose(
+        res["mkpts0"], np.asarray(out.mkpts0_f)[0][valid], atol=1e-4)
+    np.testing.assert_allclose(
+        res["mkpts1"], np.asarray(out.mkpts1_f)[0][valid], atol=1e-4)
+    assert res["mconf"].shape == res["mkpts0"].shape[:1]
+
+
+def test_service_batches_and_pads():
+    svc, _, _ = _service(flush_ms=50.0)
+    rng = np.random.RandomState(5)
+    imgs = [(rng.rand(64, 64).astype(np.float32),
+             rng.rand(64, 64).astype(np.float32)) for _ in range(3)]
+    with svc:
+        futs = [svc.submit(a, b) for a, b in imgs]
+        results = [f.result(timeout=120) for f in futs]
+    for r in results:
+        assert r["mkpts0"].shape == r["mkpts1"].shape
+        assert r["mkpts0"].ndim == 2 and r["mkpts0"].shape[1] == 2
+    snap = svc.stats.snapshot()
+    assert snap["requests"] == 3
+    # 3 requests in <= 3 batches; if any grouped to the 4-rung, padding shows
+    assert 1 <= snap["batches"] <= 3
+    assert snap["latency_ms_p50"] is not None
+
+
+def test_service_mixed_buckets_and_min_conf():
+    svc, _, _ = _service()
+    rng = np.random.RandomState(7)
+    small = rng.rand(60, 60).astype(np.float32)
+    large = rng.rand(90, 90).astype(np.float32)
+    with svc:
+        f_small = svc.submit(small, small)
+        f_large = svc.submit(large, large)
+        f_conf = svc.submit(small, small, min_conf=2.0)  # > any conf
+        r_small, r_large = f_small.result(120), f_large.result(120)
+        r_conf = f_conf.result(120)
+    assert r_small["mkpts0"].dtype == np.float32
+    assert r_large["mkpts0"].shape[1] == 2
+    assert r_conf["mkpts0"].shape[0] == 0  # min_conf filters everything
+
+
+def test_service_rejects_after_close():
+    svc, _, _ = _service()
+    svc.close()
+    with pytest.raises(RuntimeError):
+        svc.submit(np.zeros((64, 64), np.float32),
+                   np.zeros((64, 64), np.float32))
+
+
+def test_service_uint8_and_rgb_inputs():
+    svc, _, _ = _service()
+    rng = np.random.RandomState(9)
+    u8 = (rng.rand(64, 64) * 255).astype(np.uint8)
+    rgb = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    with svc:
+        r = svc.match(u8, rgb)
+    assert r["mkpts0"].shape[1] == 2
