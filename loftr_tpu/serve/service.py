@@ -19,6 +19,11 @@ single-stream demo, /root/reference/demo/demo_loftr.py):
 - **Per-request geometry.** Each request carries its own resize scale;
   keypoints come back in original-image pixel coordinates via the model's
   scale0/scale1 inputs (ops/matching.py::matches_to_kpts).
+- **Multi-chip serving.** Pass a `jax.sharding.Mesh` (parallel/mesh.py) and
+  batch rows are sharded over its 'data' axis: variables are replicated
+  once, every rung is rounded up to a multiple of the axis size, and GSPMD
+  partitions the compiled program — the serving-side mirror of the
+  trainer's declared data parallelism.
 
 Latency/throughput knobs: `flush_ms` (max time the oldest request waits for
 batch-mates), `max_batch`, `buckets`, `queue_depth`.
@@ -135,7 +140,8 @@ class MatchingService:
                  overrides: Optional[dict] = None,
                  buckets: Sequence[Bucket] = ((480, 640), (840, 840)),
                  batch_sizes: Sequence[int] = (1, 2, 4, 8),
-                 flush_ms: float = 5.0, queue_depth: int = 2):
+                 flush_ms: float = 5.0, queue_depth: int = 2,
+                 mesh=None):
         import jax
         from loftr_tpu.config import get_config
         from loftr_tpu.models.matcher import LoFTR
@@ -158,9 +164,23 @@ class MatchingService:
         cfg = get_config(preset, ov)
         self._model = LoFTR(cfg.loftr)
         self._apply = jax.jit(self._model.apply)
+        self._mesh = mesh
+        self._n_shard = 1
+        self._batch_sharding = None
+        if mesh is not None:
+            from loftr_tpu.parallel.mesh import batch_sharding, replicate
+            if "data" not in mesh.shape:
+                raise ValueError("serving mesh needs a 'data' axis")
+            self._n_shard = mesh.shape["data"]
+            self._batch_sharding = batch_sharding(mesh)
+            variables = replicate(mesh, variables)
         self._variables = variables
         self.buckets = tuple((int(h), int(w)) for h, w in buckets)
-        self.batch_sizes = tuple(sorted(set(int(b) for b in batch_sizes)))
+        # every rung must be divisible by the data-axis size so rows split
+        # evenly across devices; round up and dedup
+        ns = self._n_shard
+        self.batch_sizes = tuple(sorted(
+            {-(-int(b) // ns) * ns for b in batch_sizes}))
         self.max_batch = self.batch_sizes[-1]
         self.flush_s = flush_ms / 1000.0
         self.stats = ServiceStats()
@@ -208,19 +228,19 @@ class MatchingService:
         """Pre-compile every (bucket, rung) program (first-request latency
         on TPU is dominated by compilation otherwise)."""
         import jax
-        import jax.numpy as jnp
         from loftr_tpu.structs import MatchInput
 
         for b in self.buckets:
             bh, bw = b
             for n in (batch_sizes or self.batch_sizes):
+                n = -(-int(n) // self._n_shard) * self._n_shard
                 inp = MatchInput(
-                    image0=jnp.zeros((n, bh, bw, 1), jnp.float32),
-                    image1=jnp.zeros((n, bh, bw, 1), jnp.float32),
-                    mask0=jnp.ones((n, bh // 8, bw // 8), bool),
-                    mask1=jnp.ones((n, bh // 8, bw // 8), bool),
-                    scale0=jnp.ones((n, 2), jnp.float32),
-                    scale1=jnp.ones((n, 2), jnp.float32))
+                    image0=self._place(np.zeros((n, bh, bw, 1), np.float32)),
+                    image1=self._place(np.zeros((n, bh, bw, 1), np.float32)),
+                    mask0=self._place(np.ones((n, bh // 8, bw // 8), bool)),
+                    mask1=self._place(np.ones((n, bh // 8, bw // 8), bool)),
+                    scale0=self._place(np.ones((n, 2), np.float32)),
+                    scale1=self._place(np.ones((n, 2), np.float32)))
                 jax.block_until_ready(self._apply(self._variables, inp))
 
     def close(self, timeout: float = 30.0) -> None:
@@ -265,8 +285,16 @@ class MatchingService:
                 else:
                     self._lock.wait()
 
-    def _batch_loop(self) -> None:
+    def _place(self, x: np.ndarray):
+        """Host array -> device array; rows sharded over 'data' if meshed."""
+        import jax
         import jax.numpy as jnp
+
+        if self._batch_sharding is None:
+            return jnp.asarray(x)
+        return jax.device_put(x, self._batch_sharding)
+
+    def _batch_loop(self) -> None:
         from loftr_tpu.structs import MatchInput
 
         while True:
@@ -290,17 +318,17 @@ class MatchingService:
             self._inflight_sem.acquire()  # back-pressure: bounded in-flight
             try:
                 inp = MatchInput(
-                    image0=jnp.asarray(
+                    image0=self._place(
                         stack("img0", (bh, bw), np.float32)[..., None]),
-                    image1=jnp.asarray(
+                    image1=self._place(
                         stack("img1", (bh, bw), np.float32)[..., None]),
-                    mask0=jnp.asarray(stack("mask0", (bh // 8, bw // 8),
+                    mask0=self._place(stack("mask0", (bh // 8, bw // 8),
                                             bool)),
-                    mask1=jnp.asarray(stack("mask1", (bh // 8, bw // 8),
+                    mask1=self._place(stack("mask1", (bh // 8, bw // 8),
                                             bool)),
-                    scale0=jnp.asarray(
+                    scale0=self._place(
                         stack("scale0", (2,), np.float32)),
-                    scale1=jnp.asarray(
+                    scale1=self._place(
                         stack("scale1", (2,), np.float32)))
                 out = self._apply(self._variables, inp)  # async dispatch
             except Exception as e:  # compile/dispatch failure -> fail batch

@@ -134,6 +134,41 @@ def test_service_rejects_after_close():
                    np.zeros((64, 64), np.float32))
 
 
+def test_service_multi_device_mesh():
+    """Data-parallel serving: rows sharded over a 4-device 'data' axis give
+    the same matches as the unsharded service; rungs round to multiples."""
+    from loftr_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=4, devices=jax.devices()[:4])
+    svc, variables, model = _service(mesh=mesh, batch_sizes=(1, 2, 4),
+                                     flush_ms=40.0)
+    # rungs rounded up to multiples of 4 and deduped
+    assert svc.batch_sizes == (4,)
+    rng = np.random.RandomState(11)
+    imgs = [(rng.rand(64, 64).astype(np.float32),
+             rng.rand(64, 64).astype(np.float32)) for _ in range(6)]
+    with svc:
+        futs = [svc.submit(a, b) for a, b in imgs]
+        meshed = [f.result(timeout=120) for f in futs]
+    # oracle: direct single-pair forwards on one device
+    for (a, b), r in zip(imgs, meshed):
+        inp = MatchInput(
+            image0=jnp.asarray(a)[None, :, :, None],
+            image1=jnp.asarray(b)[None, :, :, None],
+            mask0=jnp.ones((1, 8, 8), bool), mask1=jnp.ones((1, 8, 8), bool),
+            scale0=jnp.ones((1, 2)), scale1=jnp.ones((1, 2)))
+        out = model.apply(variables, inp)
+        valid = np.asarray(out.valid)[0]
+        np.testing.assert_allclose(
+            r["mkpts0"], np.asarray(out.mkpts0_f)[0][valid], atol=1e-3)
+        np.testing.assert_allclose(
+            r["mkpts1"], np.asarray(out.mkpts1_f)[0][valid], atol=1e-3)
+    # 6 requests -> two rung-4 batches with 2 padded rows total
+    snap = svc.stats.snapshot()
+    assert snap["requests"] == 6 and snap["batches"] == 2
+    assert snap["padded_rows"] == 2
+
+
 def test_service_uint8_and_rgb_inputs():
     svc, _, _ = _service()
     rng = np.random.RandomState(9)
