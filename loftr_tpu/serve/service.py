@@ -241,7 +241,11 @@ class MatchingService:
                     mask1=self._place(np.ones((n, bh // 8, bw // 8), bool)),
                     scale0=self._place(np.ones((n, 2), np.float32)),
                     scale1=self._place(np.ones((n, 2), np.float32)))
-                jax.block_until_ready(self._apply(self._variables, inp))
+                out = self._apply(self._variables, inp)
+                # a device->host fetch, not block_until_ready: through the
+                # axon relay only a host fetch guarantees compile+execute
+                # actually finished (NOTES.md relay gotchas)
+                np.asarray(out.valid)
 
     def close(self, timeout: float = 30.0) -> None:
         with self._lock:
