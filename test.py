@@ -21,7 +21,10 @@ import os
 
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--preset", default="scannet_eval")
+    p.add_argument("--preset", default=None,
+                   help="named preset (default scannet_eval; config files may also set preset:)")
+    p.add_argument("--config", action="append", default=[],
+                   help="config file(s) (.json/.yaml), merged in order, later wins (reference main-cfg/data-cfg precedence)")
     p.add_argument("--dataset", default="scannet",
                    choices=["scannet", "megadepth"])
     p.add_argument("--data-root", required=True)
@@ -97,7 +100,10 @@ def main():
         overrides["loftr"]["match_coarse"]["thr"] = args.thr
     if args.dataset == "megadepth":
         overrides["trainer"] = {"epi_err_thr": 1e-4}
-    cfg = get_config(args.preset, overrides)
+    from loftr_tpu.config import get_config_from_files
+    cfg = get_config_from_files(
+        *args.config, preset=args.preset, fallback="scannet_eval",
+        overrides=overrides)
     if args.config_json:
         cfg = cfg.replaced(json.loads(args.config_json))
 

@@ -22,7 +22,10 @@ import time
 
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--preset", default="indoor_ds")
+    p.add_argument("--preset", default=None,
+                   help="named preset (default indoor_ds; config files may also set preset:)")
+    p.add_argument("--config", action="append", default=[],
+                   help="config file(s) (.json/.yaml), merged in order, later wins (reference main-cfg/data-cfg precedence)")
     p.add_argument("--dataset", default="scannet",
                    choices=["scannet", "megadepth"])
     p.add_argument("--data-root", required=True)
@@ -108,9 +111,10 @@ def main():
     n_dev = len(jax.devices())
 
     import json as _json
-    cfg = get_config(args.preset)
-    if args.config_json:
-        cfg = cfg.replaced(_json.loads(args.config_json))
+    from loftr_tpu.config import get_config_from_files
+    cfg = get_config_from_files(
+        *args.config, preset=args.preset, fallback="indoor_ds",
+        overrides=_json.loads(args.config_json) if args.config_json else None)
     dataset = build_datasets(args, cfg, world_size, rank)
     n_samples = args.n_samples_per_subset or cfg.trainer.n_samples_per_subset
     sampler = SceneBalancedSampler(
