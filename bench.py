@@ -89,7 +89,15 @@ def main():
         acc = jnp.zeros(())
         for k in range(N_INNER):
             one = jax.tree.map(lambda x: x[k], st)
-            acc = acc + jnp.sum(model.apply(v, one).mkpts0_f)
+            # serialize the unrolled copies: thread acc into each batch's
+            # input so XLA cannot overlap their live ranges (the full model
+            # incl. fine branch at B=32 x 4 concurrent copies OOMs 16 GB HBM)
+            one = one.replace(image0=one.image0 + (acc * 0.0).astype(
+                one.image0.dtype))
+            out = model.apply(v, one)
+            # mkpts1_f (not mkpts0_f): mkpts0_f == mkpts0_c, so reducing it
+            # alone would let XLA dead-code-eliminate the whole fine stage
+            acc = acc + jnp.sum(out.mkpts1_f) + jnp.sum(out.coarse.mconf)
         return acc
 
     # warmup + hard sync (device->host read; block_until_ready alone may not

@@ -33,10 +33,19 @@ def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
 
 
 def upsample2x_align_corners(x: jax.Array) -> jax.Array:
-    """x: [B, H, W, C] -> [B, 2H, 2W, C], bilinear, align_corners=True."""
+    """x: [B, H, W, C] -> [B, 2H, 2W, C], bilinear, align_corners=True.
+
+    The interpolation matmuls run in the feature dtype: with f32 weights the
+    einsum promotes bf16 features to f32, materializing the 2x-upsampled FPN
+    tensor (e.g. [2B, H/2, W/2, 196] at 640x480) in f32 plus an extra layout
+    copy — measured ~1 ms/pair of pure HBM traffic on v5e. Two-tap weights
+    in bf16 are within the bf16 feature error budget; the MXU still
+    accumulates in f32 internally.
+    """
     b, h, w, c = x.shape
-    wh = jnp.asarray(_interp_matrix(h, 2 * h))  # [2H, H]
-    ww = jnp.asarray(_interp_matrix(w, 2 * w))  # [2W, W]
-    x = jnp.einsum("oh,bhwc->bowc", wh, x)
-    x = jnp.einsum("ow,bhwc->bhoc", ww, x)
+    dt = x.dtype
+    wh = jnp.asarray(_interp_matrix(h, 2 * h)).astype(dt)  # [2H, H]
+    ww = jnp.asarray(_interp_matrix(w, 2 * w)).astype(dt)  # [2W, W]
+    x = jnp.einsum("oh,bhwc->bowc", wh, x)   # dtype-preserving: bf16 stays
+    x = jnp.einsum("ow,bhwc->bhoc", ww, x)   # bf16 in HBM (f32 MXU accum)
     return x

@@ -45,14 +45,19 @@ def _auto_interpret(flag: bool) -> bool:
     return flag or _jax.default_backend() != "tpu"
 
 
-def _stats_kernel(f0_ref, f1_ref, m0_ref, m1_ref,
+def _stats_kernel(sim_scale, f0_ref, f1_ref, m0_ref, m1_ref,
                   rowmax_ref, rowsum_ref, colmax_ref, colsum_ref):
     """Pass 1. f0 [TL,C] row tile; f1 [Sp,C] resident; m0 [TL,1], m1 [1,Sp]
     validity vectors (0/1 incl. geometric padding).  Row stats per tile;
-    column stats flash-accumulated across the sequential grid."""
+    column stats flash-accumulated across the sequential grid.
+
+    sim_scale (python float closure) applies the 1/(C*temperature) dual-
+    softmax normalization to the f32 dot product in-kernel, so the raw
+    feature matrices are kernel inputs directly — no scaled [L, C]/[S, C]
+    copies ever hit HBM."""
     i = pl.program_id(0)
     sim = jnp.dot(f0_ref[:], f1_ref[:].T,
-                  preferred_element_type=jnp.float32)
+                  preferred_element_type=jnp.float32) * sim_scale
     sim = sim + (m0_ref[:] * m1_ref[:] - 1.0) * (-NEG)
     rmax = jnp.max(sim, axis=1, keepdims=True)
     rowmax_ref[:] = rmax
@@ -75,13 +80,13 @@ def _stats_kernel(f0_ref, f1_ref, m0_ref, m1_ref,
         colmax_ref[:] = new_max
 
 
-def _best_kernel(f0_ref, f1_ref, m0_ref, m1_ref, rowmax_ref, rowsum_ref,
-                 colmax_ref, colsum_ref,
+def _best_kernel(sim_scale, f0_ref, f1_ref, m0_ref, m1_ref, rowmax_ref,
+                 rowsum_ref, colmax_ref, colsum_ref,
                  best_val_ref, best_j_ref, colconf_ref):
     """Pass 2: conf tile on the fly; row best + accumulated column conf max."""
     i = pl.program_id(0)
     sim = jnp.dot(f0_ref[:], f1_ref[:].T,
-                  preferred_element_type=jnp.float32)
+                  preferred_element_type=jnp.float32) * sim_scale
     sim = sim + (m0_ref[:] * m1_ref[:] - 1.0) * (-NEG)
     row_sm = jnp.exp(sim - rowmax_ref[:]) / rowsum_ref[:]
     col_sm = jnp.exp(sim - colmax_ref[:]) / colsum_ref[:]
@@ -122,7 +127,7 @@ def make_mask_vectors(L, S, Lp, Sp, mask0, mask1):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("tile_l", "interpret"))
+                   static_argnames=("temperature", "tile_l", "interpret"))
 def _fused_dual_softmax_core(feat0: jax.Array, feat1: jax.Array,
                              temperature: float = 0.1,
                              mask0: Optional[jax.Array] = None,
@@ -141,10 +146,10 @@ def _fused_dual_softmax_core(feat0: jax.Array, feat1: jax.Array,
     interpret = _auto_interpret(interpret)
     L, C = feat0.shape
     S = feat1.shape[0]
-    scale = (1.0 / C ** 0.5) / (temperature ** 0.5)
-    # split the 1/temperature between the two operands so sim = f0.f1/(C*T)
-    f0 = feat0 * scale
-    f1 = feat1 * scale
+    # sim = f0.f1/(C*T), applied to the f32 dot in-kernel (better numerics
+    # than pre-scaling bf16 operands, and no scaled HBM copies of the feats)
+    sim_scale = 1.0 / (C * float(temperature))
+    f0, f1 = feat0, feat1
 
     Lp = (L + tile_l - 1) // tile_l * tile_l
     Sp = (S + 127) // 128 * 128
@@ -167,7 +172,7 @@ def _fused_dual_softmax_core(feat0: jax.Array, feat1: jax.Array,
                                memory_space=pltpu.VMEM)
 
     rowmax, rowsum, colmax, colsum = pl.pallas_call(
-        _stats_kernel,
+        functools.partial(_stats_kernel, sim_scale),
         grid=grid,
         in_specs=[row_spec, full_spec, m0_spec, m1_spec],
         out_specs=(rowout_spec, rowout_spec, colout_spec, colout_spec),
@@ -181,7 +186,7 @@ def _fused_dual_softmax_core(feat0: jax.Array, feat1: jax.Array,
     )(f0, f1, m0v, m1v)
 
     best_val, best_j, colconf = pl.pallas_call(
-        _best_kernel,
+        functools.partial(_best_kernel, sim_scale),
         grid=grid,
         in_specs=[row_spec, full_spec, m0_spec, m1_spec, rowout_spec,
                   rowout_spec, colout_spec, colout_spec],

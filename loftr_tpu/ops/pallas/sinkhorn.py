@@ -38,7 +38,7 @@ def _auto_interpret(flag: bool) -> bool:
     return flag or _jax.default_backend() != "tpu"
 
 
-def _u_kernel(f0_ref, f1_ref, m0_ref, m1_ref, v_ref, scal_ref,
+def _u_kernel(sim_scale, f0_ref, f1_ref, m0_ref, m1_ref, v_ref, scal_ref,
               u_ref, colmax_ref, colsum_ref):
     """One Sinkhorn half-iteration over a row tile.
 
@@ -51,7 +51,7 @@ def _u_kernel(f0_ref, f1_ref, m0_ref, m1_ref, v_ref, scal_ref,
     """
     i = pl.program_id(0)
     sim = jnp.dot(f0_ref[:], f1_ref[:].T,
-                  preferred_element_type=jnp.float32)
+                  preferred_element_type=jnp.float32) * sim_scale
     sim = sim + (m0_ref[:] * m1_ref[:] - 1.0) * (-NEG)
     av_bin = scal_ref[0, 0]
     log_mu = scal_ref[0, 1]
@@ -81,7 +81,7 @@ def _u_kernel(f0_ref, f1_ref, m0_ref, m1_ref, v_ref, scal_ref,
         colmax_ref[:] = new
 
 
-def _ot_best_kernel(f0_ref, f1_ref, m0_ref, m1_ref, u_ref, v_ref, scal_ref,
+def _ot_best_kernel(sim_scale, f0_ref, f1_ref, m0_ref, m1_ref, u_ref, v_ref, scal_ref,
                     best_val_ref, best_j_ref, colconf_ref, rowlog_ref,
                     collog_ref):
     """Final pass: conf = exp(sim + u + v + log(L+S)) on the fly.
@@ -92,7 +92,7 @@ def _ot_best_kernel(f0_ref, f1_ref, m0_ref, m1_ref, u_ref, v_ref, scal_ref,
     dustbin prefilter comparisons)."""
     i = pl.program_id(0)
     sim = jnp.dot(f0_ref[:], f1_ref[:].T,
-                  preferred_element_type=jnp.float32)
+                  preferred_element_type=jnp.float32) * sim_scale
     sim = sim + (m0_ref[:] * m1_ref[:] - 1.0) * (-NEG)
     logits = sim + u_ref[:] + v_ref[:] + scal_ref[0, 0]
     conf = jnp.exp(logits)
@@ -116,7 +116,7 @@ def _ot_best_kernel(f0_ref, f1_ref, m0_ref, m1_ref, u_ref, v_ref, scal_ref,
         collog_ref[:] = jnp.maximum(collog_ref[:], tile_collog)
 
 
-def _ot_best_filtered_kernel(f0_ref, f1_ref, m0_ref, m1_ref, u_ref, v_ref,
+def _ot_best_filtered_kernel(sim_scale, f0_ref, f1_ref, m0_ref, m1_ref, u_ref, v_ref,
                              filt0_ref, filt1_ref, scal_ref,
                              best_val_ref, best_j_ref, colconf_ref):
     """Epilogue with the skh_prefilter applied EXACTLY: conf is zeroed on
@@ -127,7 +127,7 @@ def _ot_best_filtered_kernel(f0_ref, f1_ref, m0_ref, m1_ref, u_ref, v_ref,
     composed with the MNN selection)."""
     i = pl.program_id(0)
     sim = jnp.dot(f0_ref[:], f1_ref[:].T,
-                  preferred_element_type=jnp.float32)
+                  preferred_element_type=jnp.float32) * sim_scale
     sim = sim + (m0_ref[:] * m1_ref[:] - 1.0) * (-NEG)
     logits = sim + u_ref[:] + v_ref[:] + scal_ref[0, 0]
     conf = jnp.exp(logits) * filt0_ref[:] * filt1_ref[:]
@@ -179,9 +179,10 @@ def fused_sinkhorn_match(feat0: jax.Array, feat1: jax.Array,
     L, C = feat0.shape
     S = feat1.shape[0]
     f32 = jnp.float32
-    scale = 1.0 / C ** 0.5
-    f0 = feat0 * scale
-    f1 = feat1 * scale
+    # sim = f0.f1/C, applied to the f32 dot in-kernel (no scaled HBM
+    # copies of the feature matrices; better numerics than bf16 pre-scale)
+    sim_scale = 1.0 / C
+    f0, f1 = feat0, feat1
     alpha = jnp.asarray(bin_score, f32)
 
     Lp = (L + tile_l - 1) // tile_l * tile_l
@@ -229,7 +230,7 @@ def fused_sinkhorn_match(feat0: jax.Array, feat1: jax.Array,
             jnp.concatenate([v_full_real, v_bin[None]])))
         scal = jnp.stack([alpha + v_bin, norm, 0.0]).reshape(1, 3)
         u, colmax, colsum = pl.pallas_call(
-            _u_kernel,
+            functools.partial(_u_kernel, sim_scale),
             grid=grid,
             in_specs=[row_spec, full_spec, m0_spec, colin_spec, colin_spec,
                       pl.BlockSpec((1, 3), lambda i: (0, 0),
@@ -251,7 +252,7 @@ def fused_sinkhorn_match(feat0: jax.Array, feat1: jax.Array,
 
     scal2 = jnp.stack([-norm]).reshape(1, 1)  # log(L+S)
     best_val, best_j, colconf, rowlog, collog = pl.pallas_call(
-        _ot_best_kernel,
+        functools.partial(_ot_best_kernel, sim_scale),
         grid=grid,
         in_specs=[row_spec, full_spec, m0_spec, colin_spec, rowout_spec,
                   colin_spec,
@@ -279,7 +280,7 @@ def fused_sinkhorn_match(feat0: jax.Array, feat1: jax.Array,
         filt0 = _pad_to((~prefilter0).astype(f32)[:, None], Lp, 0)
         filt1 = _pad_to((~prefilter1).astype(f32)[None, :], Sp, 1)
         best_val, best_j, colconf = pl.pallas_call(
-            _ot_best_filtered_kernel,
+            functools.partial(_ot_best_filtered_kernel, sim_scale),
             grid=grid,
             in_specs=[row_spec, full_spec, m0_spec, colin_spec, rowout_spec,
                       colin_spec, m0_spec, colin_spec,
