@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--n-inner", type=int, default=4,
                     help="distinct batches unrolled inside one jitted "
                          "program (amortizes relay dispatch latency)")
+    ap.add_argument("--live", type=int, default=2,
+                    help="max unrolled copies concurrently live: copy k "
+                         "takes a data dependency on copy k-live, bounding "
+                         "peak HBM to ~live copies while letting XLA "
+                         "overlap adjacent ones (1 = fully serialized)")
     ap.add_argument("--pallas", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="use the fused Pallas matching kernel")
@@ -84,21 +89,25 @@ def main():
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
                            *[make_batch(s) for s in range(N_INNER)])
 
+    LIVE = max(1, args.live)
+
     @jax.jit
     def run_many(v, st):
-        acc = jnp.zeros(())
+        # Bound live ranges: copy k takes a data dependency on copy k-LIVE's
+        # result, so at most LIVE copies are in flight (the full model incl.
+        # fine branch at B=32 x 4 fully-concurrent copies OOMs 16 GB HBM),
+        # while adjacent copies may still overlap to hide HBM stalls.
+        accs = []
         for k in range(N_INNER):
             one = jax.tree.map(lambda x: x[k], st)
-            # serialize the unrolled copies: thread acc into each batch's
-            # input so XLA cannot overlap their live ranges (the full model
-            # incl. fine branch at B=32 x 4 concurrent copies OOMs 16 GB HBM)
-            one = one.replace(image0=one.image0 + (acc * 0.0).astype(
-                one.image0.dtype))
+            if k >= LIVE:
+                gate = (accs[k - LIVE] * 0.0).astype(one.image0.dtype)
+                one = one.replace(image0=one.image0 + gate)
             out = model.apply(v, one)
             # mkpts1_f (not mkpts0_f): mkpts0_f == mkpts0_c, so reducing it
             # alone would let XLA dead-code-eliminate the whole fine stage
-            acc = acc + jnp.sum(out.mkpts1_f) + jnp.sum(out.coarse.mconf)
-        return acc
+            accs.append(jnp.sum(out.mkpts1_f) + jnp.sum(out.coarse.mconf))
+        return sum(accs)
 
     # warmup + hard sync (device->host read; block_until_ready alone may not
     # sync through the relay)
