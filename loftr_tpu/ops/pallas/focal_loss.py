@@ -196,8 +196,11 @@ def _prep(feat0, feat1, temperature, gt_j, gt_valid, mask0, mask1, tile_l):
 
 def _stats(f0, f1, m0v, m1v, tile_l, Lp, Sp, interpret):
     row, full, m0s, m1s, rowv, colv = _specs(tile_l, Lp, Sp, f0.shape[1])
+    # _prep already folded the 1/(C*temperature) normalization into the
+    # features (the backward tiles need the scaled copies anyway), so the
+    # shared stats kernel runs with sim_scale=1.0.
     return pl.pallas_call(
-        _stats_kernel,
+        functools.partial(_stats_kernel, 1.0),
         grid=(Lp // tile_l,),
         in_specs=[row, full, m0s, m1s],
         out_specs=(rowv, rowv, colv, colv),
