@@ -97,6 +97,12 @@ class FineConfig:
     # fused Pallas per-window attention (inference only; training keeps the
     # differentiable XLA path) — see ops/pallas/window_attention.py
     use_pallas: bool = False
+    # window extraction: 'direct' gathers only the K selected windows
+    # (measured 2.8x faster at K=1024/B=32 on v5e: 0.41 vs 1.15 ms/pair
+    # per side); 'unfold' materializes all L windows then row-gathers
+    # (better backward: dense slice-adds instead of scatter-adds).
+    # 'auto' = direct for inference, unfold for training.
+    gather: str = "auto"
 
 
 @dataclass(frozen=True)

@@ -25,11 +25,13 @@ import jax.numpy as jnp
 
 from loftr_tpu.config import ModelConfig
 from loftr_tpu.models.backbone import build_backbone
+from loftr_tpu.models.fused_fine import FusedFineStage
 from loftr_tpu.models.position_encoding import add_position_encoding
 from loftr_tpu.models.transformer import LocalFeatureTransformer, dense
 from loftr_tpu.ops import matching as M
 from loftr_tpu.ops.fine_match import fine_kpts, fine_match
-from loftr_tpu.ops.windows import gather_fine_windows
+from loftr_tpu.ops.windows import (gather_fine_windows,
+                                   gather_fine_windows_direct)
 from loftr_tpu.structs import CoarseMatches, MatchInput, MatchResult
 
 
@@ -144,8 +146,13 @@ class LoFTR(nn.Module):
         W = cfg.fine.window_size
         d_f = cfg.fine.d_model
         stride = hw0_f[0] // hw0_c[0]
-        win0 = gather_fine_windows(feat_f0, matches.i_ids, hw0_c, W, stride)
-        win1 = gather_fine_windows(feat_f1, matches.j_ids, hw1_c, W, stride)
+        gmode = cfg.fine.gather
+        if gmode == "auto":
+            gmode = "unfold" if train else "direct"
+        gather = (gather_fine_windows_direct if gmode == "direct"
+                  else gather_fine_windows)
+        win0 = gather(feat_f0, matches.i_ids, hw0_c, W, stride)
+        win1 = gather(feat_f1, matches.j_ids, hw1_c, W, stride)
         if cfg.fine.concat_coarse_feat:
             # coarse context concat (fine_preprocess.py:49-57)
             c0 = jnp.take_along_axis(
@@ -163,19 +170,28 @@ class LoFTR(nn.Module):
             win1 = merge(jnp.concatenate(
                 [win1, jnp.broadcast_to(c1w[:, :, None, :], win1.shape[:2] + (ww, d_f))], axis=-1))
 
-        # [6] fine transformer over windows as batch (loftr.py:72)
+        # [6]+[7] fine transformer + fine matching (loftr.py:72-75).
+        # Inference takes the fully-fused Pallas path (one kernel for both
+        # stages, ops/pallas/fine_stage.py); it declares the SAME param tree
+        # as the XLA layer stack, so checkpoints drive either path.
         K = win0.shape[1]
-        f0 = win0.reshape(B * K, W * W, d_f)
-        f1 = win1.reshape(B * K, W * W, d_f)
-        f0, f1 = LocalFeatureTransformer(
-            d_f, cfg.fine.nhead, cfg.fine.layer_names, cfg.fine.attention,
-            dt, fused_window_attn=cfg.fine.use_pallas and not train,
-            name="loftr_fine")(f0, f1)
-        f0 = f0.reshape(B, K, W * W, d_f)
-        f1 = f1.reshape(B, K, W * W, d_f)
-
-        # [7] fine matching (loftr.py:75 -> fine_matching.py:15-74)
-        expec_f = fine_match(f0, f1)
+        fuse_fine = (cfg.fine.use_pallas and not train
+                     and cfg.fine.attention == "linear"
+                     and tuple(cfg.fine.layer_names) == ("self", "cross"))
+        if fuse_fine:
+            expec_f = FusedFineStage(
+                d_f, cfg.fine.nhead, cfg.fine.layer_names,
+                name="loftr_fine")(win0, win1)
+        else:
+            f0 = win0.reshape(B * K, W * W, d_f)
+            f1 = win1.reshape(B * K, W * W, d_f)
+            f0, f1 = LocalFeatureTransformer(
+                d_f, cfg.fine.nhead, cfg.fine.layer_names,
+                cfg.fine.attention, dt,
+                name="loftr_fine")(f0, f1)
+            f0 = f0.reshape(B, K, W * W, d_f)
+            f1 = f1.reshape(B, K, W * W, d_f)
+            expec_f = fine_match(f0, f1)
         mkpts0_f, mkpts1_f = fine_kpts(
             jax.lax.stop_gradient(expec_f), mkpts0_c, mkpts1_c, W, res_f,
             inp.scale1)
