@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from loftr_tpu.config import ModelConfig
 from loftr_tpu.models.backbone import build_backbone
+from loftr_tpu.models.fused_coarse import FusedCoarseTransformer
 from loftr_tpu.models.fused_fine import FusedFineStage
 from loftr_tpu.models.position_encoding import add_position_encoding
 from loftr_tpu.models.transformer import LocalFeatureTransformer, dense
@@ -79,13 +80,20 @@ class LoFTR(nn.Module):
         mask_c0 = None if inp.mask0 is None else inp.mask0.reshape(B, L)
         mask_c1 = None if inp.mask1 is None else inp.mask1.reshape(B, S)
 
-        # [3] coarse transformer (loftr.py:64)
-        feat_c0, feat_c1 = LocalFeatureTransformer(
-            d_c, cfg.coarse.nhead, cfg.coarse.layer_names,
-            cfg.coarse.attention, dt,
-            fused_heads=getattr(cfg.coarse, "fused_heads", False),
-            name="loftr_coarse")(
-                feat_c0, feat_c1, mask_c0, mask_c1)
+        # [3] coarse transformer (loftr.py:64).  Inference uses the fused
+        # Pallas encoder layers (same param tree; ops/pallas/coarse_layer.py)
+        if (cfg.coarse.use_pallas and not train
+                and cfg.coarse.attention == "linear"):
+            feat_c0, feat_c1 = FusedCoarseTransformer(
+                d_c, cfg.coarse.nhead, cfg.coarse.layer_names,
+                name="loftr_coarse")(feat_c0, feat_c1, mask_c0, mask_c1)
+        else:
+            feat_c0, feat_c1 = LocalFeatureTransformer(
+                d_c, cfg.coarse.nhead, cfg.coarse.layer_names,
+                cfg.coarse.attention, dt,
+                fused_heads=getattr(cfg.coarse, "fused_heads", False),
+                name="loftr_coarse")(
+                    feat_c0, feat_c1, mask_c0, mask_c1)
 
         # [4] coarse matching (loftr.py:67 -> coarse_matching.py:87-148)
         mc = cfg.match_coarse
