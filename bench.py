@@ -56,6 +56,12 @@ def main():
                     help="fold backbone BatchNorms into conv kernels "
                          "(utils/folding.py; measured perf-neutral on v5e "
                          "- XLA fuses eval BN into the conv epilogue)")
+    ap.add_argument("--pad-channels", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="zero-pad the backbone's 196-channel stage to 256 "
+                         "(utils/channel_pad.py) - function-preserving, "
+                         "XLA's 196-wide convs are ~24%% slower than true "
+                         "256-wide ones on v5e")
     args = ap.parse_args()
 
     W, H = (int(t) for t in args.res.split("x"))
@@ -82,6 +88,12 @@ def main():
         from loftr_tpu.utils.folding import fold_batchnorm, fold_config
         variables = fold_batchnorm(variables)
         cfg = fold_config(cfg)
+        model = LoFTR(cfg.loftr)
+    if args.pad_channels:
+        from loftr_tpu.utils.channel_pad import (pad_backbone_channels,
+                                                 pad_config)
+        variables = pad_backbone_channels(variables)
+        cfg = pad_config(cfg)
         model = LoFTR(cfg.loftr)
 
     # The axon relay has a large, variable per-dispatch latency (~15-150 ms)

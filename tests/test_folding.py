@@ -87,3 +87,54 @@ def test_fold_requires_batch_stats():
     cfg = get_config("indoor_ds")
     with pytest.raises(KeyError):
         fold_batchnorm({"params": {"backbone": {}}})
+
+
+def test_channel_pad_preserves_function():
+    """196->256 zero-padded backbone computes the identical function."""
+    import numpy as np
+    from loftr_tpu import LoFTR, MatchInput, get_config
+    from loftr_tpu.utils.channel_pad import (pad_backbone_channels,
+                                             pad_config)
+    r = np.random.RandomState(0)
+    inp = MatchInput(
+        image0=jnp.asarray(r.rand(1, 64, 64, 1), jnp.float32),
+        image1=jnp.asarray(r.rand(1, 64, 64, 1), jnp.float32))
+    cfg = get_config("indoor_ds",
+                     {"loftr": {"dtype": "float32",
+                                "match_coarse": {"max_matches": 16}}})
+    model = LoFTR(cfg.loftr)
+    v = model.init(jax.random.PRNGKey(0), inp)
+    want = model.apply(v, inp)
+
+    v2 = pad_backbone_channels(v)
+    cfg2 = pad_config(cfg)
+    assert cfg2.loftr.backbone.block_dims == (128, 256, 256)
+    got = LoFTR(cfg2.loftr).apply(v2, inp)
+    np.testing.assert_allclose(np.asarray(got.coarse.mconf),
+                               np.asarray(want.coarse.mconf), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.expec_f),
+                               np.asarray(want.expec_f), atol=1e-5)
+
+
+def test_channel_pad_composes_with_fold():
+    import numpy as np
+    from loftr_tpu import LoFTR, MatchInput, get_config
+    from loftr_tpu.utils.channel_pad import (pad_backbone_channels,
+                                             pad_config)
+    r = np.random.RandomState(1)
+    inp = MatchInput(
+        image0=jnp.asarray(r.rand(1, 64, 64, 1), jnp.float32),
+        image1=jnp.asarray(r.rand(1, 64, 64, 1), jnp.float32))
+    cfg = get_config("indoor_ds",
+                     {"loftr": {"dtype": "float32",
+                                "match_coarse": {"max_matches": 16}}})
+    model = LoFTR(cfg.loftr)
+    v = model.init(jax.random.PRNGKey(0), inp)
+    want = model.apply(v, inp)
+
+    folded = fold_batchnorm(v)
+    padded = pad_backbone_channels(folded)
+    cfg2 = pad_config(fold_config(cfg))
+    got = LoFTR(cfg2.loftr).apply(padded, inp)
+    np.testing.assert_allclose(np.asarray(got.expec_f),
+                               np.asarray(want.expec_f), atol=2e-4)
