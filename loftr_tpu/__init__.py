@@ -10,12 +10,13 @@ from loftr_tpu.config import Config, get_config, default_config
 from loftr_tpu.structs import (CoarseMatches, MatchInput, MatchResult,
                                Supervision)
 from loftr_tpu.models.matcher import LoFTR
-from loftr_tpu.api import match_pair, load_matcher
+from loftr_tpu.api import (match_pair, load_matcher,
+                           optimize_variables)
 
 __all__ = [
     "Config", "get_config", "default_config",
     "LoFTR", "MatchInput", "MatchResult", "CoarseMatches", "Supervision",
-    "match_pair", "load_matcher",
+    "match_pair", "load_matcher", "optimize_variables",
 ]
 
 __version__ = "0.1.0"

@@ -19,7 +19,20 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["match_pair", "load_matcher"]
+__all__ = ["match_pair", "load_matcher", "optimize_variables"]
+
+
+def optimize_variables(variables):
+    """Apply the inference-time weight transforms: BatchNorm folding
+    (utils/folding.py) and 196->256 channel padding (utils/channel_pad.py,
+    function-preserving; ~10% end-to-end on v5e).  The result feeds
+    :func:`match_pair` and serve.MatchingService directly - both detect
+    the transformed tree and adapt the model config."""
+    from loftr_tpu.utils.channel_pad import pad_backbone_channels
+    from loftr_tpu.utils.folding import fold_batchnorm
+    if "batch_stats" in variables:
+        variables = fold_batchnorm(variables)
+    return pad_backbone_channels(variables)
 
 
 def _to_gray_batch(img) -> np.ndarray:
@@ -35,7 +48,8 @@ def _to_gray_batch(img) -> np.ndarray:
 
 
 @lru_cache(maxsize=8)
-def _jitted(preset: str, dtype: str, hw0, hw1, pallas: bool):
+def _jitted(preset: str, dtype: str, hw0, hw1, pallas: bool,
+            bb_norm: str, bb_dims: tuple):
     import jax
     from loftr_tpu.config import get_config
     from loftr_tpu.models.matcher import LoFTR
@@ -43,7 +57,8 @@ def _jitted(preset: str, dtype: str, hw0, hw1, pallas: bool):
     cfg = get_config(preset, {"loftr": {
         "dtype": dtype,
         "match_coarse": {"use_pallas": pallas},
-        "fine": {"use_pallas": pallas}}})
+        "fine": {"use_pallas": pallas},
+        "backbone": {"norm": bb_norm, "block_dims": bb_dims}}})
     model = LoFTR(cfg.loftr)
     fn = jax.jit(model.apply)
     return model, fn
@@ -91,7 +106,10 @@ def match_pair(img0, img1, variables, preset: str = "indoor_ds",
 
     a0 = _to_gray_batch(img0)
     a1 = _to_gray_batch(img1)
-    _, fn = _jitted(preset, dtype, a0.shape[1:3], a1.shape[1:3], use_pallas)
+    from loftr_tpu.utils.channel_pad import infer_backbone_overrides
+    bb = infer_backbone_overrides(variables)["backbone"]
+    _, fn = _jitted(preset, dtype, a0.shape[1:3], a1.shape[1:3], use_pallas,
+                    bb["norm"], tuple(bb["block_dims"]))
     out = fn(variables, MatchInput(image0=jnp.asarray(a0),
                                    image1=jnp.asarray(a1)))
     valid = np.asarray(out.valid[0])

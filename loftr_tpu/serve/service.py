@@ -149,9 +149,13 @@ class MatchingService:
         for bh, bw in buckets:
             if bh % 8 or bw % 8:
                 raise ValueError(f"bucket {(bh, bw)} not /8-divisible")
+        # adapt to transformed weights (api.optimize_variables: folded BN
+        # and/or 196->256 channel padding) - visible in the variables tree
+        from loftr_tpu.utils.channel_pad import infer_backbone_overrides
         ov = {"loftr": {"dtype": dtype,
                         "match_coarse": {"use_pallas": use_pallas},
-                        "fine": {"use_pallas": use_pallas}}}
+                        "fine": {"use_pallas": use_pallas},
+                        **infer_backbone_overrides(variables)}}
         if overrides:
             # caller overrides win over the serving defaults
             ov_loftr = dict(ov["loftr"])

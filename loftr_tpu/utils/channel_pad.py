@@ -71,6 +71,31 @@ def pad_backbone_channels(variables: Mapping[str, Any],
     return out
 
 
+def infer_backbone_overrides(variables: Mapping[str, Any]) -> Dict[str, Any]:
+    """Derive {'backbone': {'norm', 'block_dims'}} from a variables tree.
+
+    Lets entry points (api.match_pair, serve.MatchingService) accept
+    variables that went through fold_batchnorm and/or
+    pad_backbone_channels without the caller re-stating the config: the
+    transforms are visible in the tree (batch_stats collection present or
+    not; conv kernel widths).
+    """
+    bb = variables["params"]["backbone"]
+    if "bn" in bb.get("bn1", {}):
+        norm = "batch"
+    elif "gn" in bb.get("bn1", {}):
+        norm = "group"
+    else:
+        norm = "none"
+    dims = []
+    for i in (1, 2, 3, 4):
+        layer = bb.get(f"layer{i}_0")
+        if layer is None:
+            break
+        dims.append(int(layer["conv1"]["kernel"].shape[-1]))
+    return {"backbone": {"norm": norm, "block_dims": tuple(dims)}}
+
+
 def pad_config(cfg, from_dim: int = 196, to_dim: int = 256):
     """Config (or ModelConfig) copy with block_dims' from_dim -> to_dim."""
     import dataclasses

@@ -251,3 +251,23 @@ def test_match_pair_convenience_api():
     # untrained net on noise: any returned match must at least be in-bounds
     if len(out["mkpts0"]):
         assert out["mkpts0"].min() >= 0 and out["mkpts0"].max() < 64
+
+
+def test_match_pair_with_optimized_variables():
+    """api.optimize_variables (fold + pad) is auto-detected by match_pair
+    and the serving config, and preserves the outputs."""
+    import numpy as np
+    from loftr_tpu import load_matcher, match_pair, optimize_variables
+    from loftr_tpu.utils.channel_pad import infer_backbone_overrides
+    r = np.random.RandomState(0)
+    img0 = (r.rand(64, 64) * 255).astype(np.uint8)
+    img1 = (r.rand(64, 64) * 255).astype(np.uint8)
+    v = load_matcher()
+    base = match_pair(img0, img1, v, dtype="float32", min_conf=-1.0)
+    v2 = optimize_variables(v)
+    ov = infer_backbone_overrides(v2)["backbone"]
+    assert ov["norm"] == "none"
+    assert ov["block_dims"] == (128, 256, 256)
+    opt = match_pair(img0, img1, v2, dtype="float32", min_conf=-1.0)
+    assert base["mkpts0"].shape == opt["mkpts0"].shape
+    np.testing.assert_allclose(opt["mconf"], base["mconf"], atol=1e-3)
