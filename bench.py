@@ -31,6 +31,8 @@ def main():
     # ~222/s on the same chip); HBM fits it since the fused matcher never
     # materializes [L, S]
     ap.add_argument("--iters", type=int, default=40)
+    ap.add_argument("--debug", action="store_true",
+                    help="print per-rep completion deltas to stderr")
     ap.add_argument("--res", default="640x480",
                     help="WxH input resolution (640x480 ScanNet flagship; "
                          "840x840 = MegaDepth eval size)")
@@ -139,7 +141,7 @@ def main():
     # occasional 1s-class latency spikes, which a single total-time window
     # folds straight into the mean (cf. the 89.5 vs ~155 pairs/s spread
     # between driver runs and interactive runs in round 1).
-    reps = max(2, iters // N_INNER)
+    reps = max(4, iters // N_INNER)
     t0 = time.perf_counter()
     accs = [run_many(variables, stacked) for _ in range(reps)]
     t_done = []
@@ -147,7 +149,13 @@ def main():
         float(a)  # host fetch = hard sync up to this rep
         t_done.append(time.perf_counter())
     deltas = np.diff([t0] + t_done)
-    dt_med = float(np.median(deltas))
+    # Discard the first 2 deltas: they absorb residual relay warm-up /
+    # queue-fill effects that the warmup call does not always flush.
+    steady = deltas[2:] if len(deltas) > 4 else deltas
+    dt_med = float(np.median(steady))
+    if args.debug:
+        print("deltas:", " ".join(f"{d*1e3:.0f}" for d in deltas),
+              "ms", file=sys.stderr)
 
     pairs_per_s = B * N_INNER / dt_med
     result = {
@@ -155,6 +163,11 @@ def main():
         "value": round(pairs_per_s, 2),
         "unit": "pairs/s/chip",
         "vs_baseline": round(pairs_per_s / REFERENCE_PAIRS_PER_S, 2),
+        # dispersion over steady-state reps (relay latency varies 15-150ms):
+        # pairs/s at the 10th/90th percentile completion delta
+        "p10": round(B * N_INNER / float(np.percentile(steady, 90)), 2),
+        "p90": round(B * N_INNER / float(np.percentile(steady, 10)), 2),
+        "n_reps": int(len(steady)),
     }
     print(json.dumps(result))
 

@@ -66,6 +66,13 @@ class AttentionConfig:
     # Measured 1.57 -> 0.87 ms/pair for the 8-layer coarse stack (v5e,
     # B=32, 640x480).  Only consulted for the coarse stack.
     use_pallas: bool = True
+    # sequence parallelism (SURVEY.md §5.7 new capability): mesh axis name
+    # to shard the coarse token axis over, or None.  Requires an ambient
+    # mesh (jax.set_mesh) with that axis and attention='linear'; takes
+    # precedence over use_pallas (the fused single-device kernel cannot
+    # consume a token-sharded sequence).  Only consulted for the coarse
+    # stack - fine windows are tiny and stay data-parallel.
+    seq_axis: str | None = None
 
 
 @dataclass(frozen=True)
@@ -86,8 +93,14 @@ class MatchCoarseConfig:
     max_matches: int = 1024           # inference top-K capacity per pair
     train_matches: int = 0            # train capacity; 0 => derive from
     #                                   train_coarse_percent * L at trace time
-    use_pallas: bool = False          # fused Pallas matcher (inference only;
-    #                                   skips materializing conf_matrix)
+    use_pallas: bool = True           # fused Pallas matcher (inference only;
+    #                                   skips materializing conf_matrix).
+    #                                   Default ON: this is the shipped
+    #                                   inference path (parity-tested vs the
+    #                                   XLA oracle, tests/test_pallas_match.py
+    #                                   + tests/test_model.py default-config
+    #                                   equivalence); training always uses
+    #                                   the differentiable XLA path.
 
 
 @dataclass(frozen=True)
@@ -100,9 +113,10 @@ class FineConfig:
     nhead: int = 8
     layer_names: tuple = ("self", "cross")
     attention: str = "linear"
-    # fused Pallas per-window attention (inference only; training keeps the
-    # differentiable XLA path) — see ops/pallas/window_attention.py
-    use_pallas: bool = False
+    # fused Pallas fine stage (inference only; training keeps the
+    # differentiable XLA path) — see ops/pallas/fine_stage.py.  Default ON:
+    # shipped inference path, parity-tested in tests/test_fine_stage_fused.py.
+    use_pallas: bool = True
     # window extraction: 'direct' gathers only the K selected windows
     # (measured 2.8x faster at K=1024/B=32 on v5e: 0.41 vs 1.15 ms/pair
     # per side); 'unfold' materializes all L windows then row-gathers
@@ -280,6 +294,24 @@ def scannet_eval(border_rm: int = 0) -> Config:
     })
 
 
+def indoor_ds_buggy_pos_enc() -> Config:
+    """configs/loftr/indoor/buggy_pos_enc/loftr_ds.py: TEMP_BUG_FIX=False.
+
+    Released pre-fix checkpoints (e.g. ``indoor_ds.ckpt``) were trained with
+    the buggy positional-encoding div_term (position_encoding.py:25-28);
+    converting them requires this preset."""
+    return indoor_ds().replaced({
+        "loftr": {"coarse": {"temp_bug_fix": False}},
+    })
+
+
+def indoor_ot_buggy_pos_enc() -> Config:
+    """configs/loftr/indoor/buggy_pos_enc/loftr_ot.py."""
+    return indoor_ot().replaced({
+        "loftr": {"coarse": {"temp_bug_fix": False}},
+    })
+
+
 PRESETS = {
     "default": default_config,
     "indoor_ds": indoor_ds,
@@ -287,6 +319,8 @@ PRESETS = {
     "outdoor_ds": outdoor_ds,
     "outdoor_ot": outdoor_ot,
     "scannet_eval": scannet_eval,
+    "indoor_ds_buggy_pos_enc": indoor_ds_buggy_pos_enc,
+    "indoor_ot_buggy_pos_enc": indoor_ot_buggy_pos_enc,
 }
 
 

@@ -36,14 +36,15 @@ def _merge_across_hosts(metrics: Dict[str, list]) -> Dict[str, list]:
 
     Replaces the reference's pickled-object Gloo all_gather side channel
     (comm.py:141-176): under exact pair sharding each host holds disjoint
-    pairs; a host-level allgather of the python lists reassembles the full
-    set before aggregation.  No-op in single-process runs."""
+    pairs; a pickle-payload allgather (parallel/comm.py - the metric lists
+    contain strings and ragged arrays, which raw process_allgather cannot
+    carry) reassembles the full set before aggregation.  No-op in
+    single-process runs."""
     if jax.process_count() == 1:
         return metrics
-    from jax.experimental import multihost_utils
-    gathered = multihost_utils.process_allgather(metrics)
+    from loftr_tpu.parallel.comm import process_allgather_objects
     merged = {k: [] for k in metrics}
-    for host_metrics in gathered:
+    for host_metrics in process_allgather_objects(metrics):
         for k, v in host_metrics.items():
             merged[k].extend(list(v))
     return merged

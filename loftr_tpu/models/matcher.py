@@ -81,8 +81,11 @@ class LoFTR(nn.Module):
         mask_c1 = None if inp.mask1 is None else inp.mask1.reshape(B, S)
 
         # [3] coarse transformer (loftr.py:64).  Inference uses the fused
-        # Pallas encoder layers (same param tree; ops/pallas/coarse_layer.py)
-        if (cfg.coarse.use_pallas and not train
+        # Pallas encoder layers (same param tree; ops/pallas/coarse_layer.py);
+        # with cfg.coarse.seq_axis the XLA stack runs token-sharded over that
+        # mesh axis instead (sequence parallelism, SURVEY.md §5.7).
+        seq_axis = getattr(cfg.coarse, "seq_axis", None)
+        if (cfg.coarse.use_pallas and not train and seq_axis is None
                 and cfg.coarse.attention == "linear"):
             feat_c0, feat_c1 = FusedCoarseTransformer(
                 d_c, cfg.coarse.nhead, cfg.coarse.layer_names,
@@ -92,6 +95,7 @@ class LoFTR(nn.Module):
                 d_c, cfg.coarse.nhead, cfg.coarse.layer_names,
                 cfg.coarse.attention, dt,
                 fused_heads=getattr(cfg.coarse, "fused_heads", False),
+                seq_axis=seq_axis,
                 name="loftr_coarse")(
                     feat_c0, feat_c1, mask_c0, mask_c1)
 
@@ -140,8 +144,17 @@ class LoFTR(nn.Module):
                 "training selection needs rng + coarse supervision"
             k_train = mc.train_matches or int(
                 mc.train_coarse_percent * max(L, S))
+            # mask-aware budget: the reference derives the train capacity
+            # from the padding masks (coarse_matching.py:46-56,200-204);
+            # the static k_train stays the array capacity, over-budget
+            # slots are masked out of the losses.
+            budget = None
+            if inp.mask0 is not None:
+                budget = M.mask_match_budget(
+                    inp.mask0, inp.mask1, mc.train_coarse_percent)
             matches = M.select_train_matches(
-                cand, gt_j, gt_valid, rng, k_train, mc.train_pad_num_gt_min)
+                cand, gt_j, gt_valid, rng, k_train, mc.train_pad_num_gt_min,
+                budget=budget)
         else:
             matches = M.topk_matches(cand, min(mc.max_matches, L))
 

@@ -90,6 +90,23 @@ class LoFTREncoderLayer(nn.Module):
         return x + y
 
 
+def _seq_constrain(x, axis: Optional[str]):
+    """Pin the token axis of [B, L, C] (or [B, L] mask) to a mesh axis.
+
+    Sequence parallelism (SURVEY.md §5.7, new capability): with the ambient
+    mesh set (``jax.set_mesh``), constraining activations to
+    ``P(None, axis, ...)`` makes XLA keep every elementwise/projection op
+    token-sharded and auto-insert the psum for linear attention's global
+    KV/ksum contractions (the only cross-token quantities) — the GSPMD
+    equivalent of parallel/seq_attention.py's explicit shard_map kernel.
+    """
+    if axis is None or x is None:
+        return x
+    from jax.sharding import PartitionSpec as P
+    spec = P(None, axis) if x.ndim == 2 else P(None, axis, None)
+    return jax.lax.with_sharding_constraint(x, spec)
+
+
 class LocalFeatureTransformer(nn.Module):
     d_model: int
     nhead: int
@@ -98,6 +115,10 @@ class LocalFeatureTransformer(nn.Module):
     dtype: object = None
     fused_window_attn: bool = False  # see LoFTREncoderLayer
     fused_heads: bool = False        # see LoFTREncoderLayer
+    # mesh axis name to shard the token (L/S) axis over, or None.  Requires
+    # an ambient mesh (jax.set_mesh) containing that axis; 'linear'
+    # attention only (full attention would need a ring exchange instead).
+    seq_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, feat0, feat1,
@@ -106,6 +127,13 @@ class LocalFeatureTransformer(nn.Module):
         """feat0: [B, L, C]; feat1: [B, S, C]."""
         same_shape = feat0.shape == feat1.shape
         masks_same = (mask0 is None) == (mask1 is None)
+        if self.seq_axis is not None:
+            assert self.attention == "linear", \
+                "seq sharding requires linear attention"
+            feat0 = _seq_constrain(feat0, self.seq_axis)
+            feat1 = _seq_constrain(feat1, self.seq_axis)
+            mask0 = _seq_constrain(mask0, self.seq_axis)
+            mask1 = _seq_constrain(mask1, self.seq_axis)
         for idx, name in enumerate(self.layer_names):
             layer = LoFTREncoderLayer(self.d_model, self.nhead,
                                       self.attention, self.dtype,
@@ -130,4 +158,9 @@ class LocalFeatureTransformer(nn.Module):
                 feat1 = layer(feat1, feat0, mask1, mask0)
             else:
                 raise KeyError(name)
+            if self.seq_axis is not None:
+                # re-pin after every layer so XLA never falls back to a
+                # replicated layout mid-stack
+                feat0 = _seq_constrain(feat0, self.seq_axis)
+                feat1 = _seq_constrain(feat1, self.seq_axis)
         return feat0, feat1

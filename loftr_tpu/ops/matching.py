@@ -159,10 +159,35 @@ def topk_matches(cand: CandidateMatches, k: int) -> CoarseMatches:
                          gt_mask=jnp.zeros_like(mask))
 
 
+def mask_match_budget(mask0: jax.Array, mask1: jax.Array,
+                      percent: float) -> jax.Array:
+    """Per-pair train-match budget from the padding masks.
+
+    The reference derives the train capacity from the masks'
+    effective extents: ``compute_max_candidates``
+    (coarse_matching.py:46-56) takes, per pair, the max column-sum as the
+    effective height and max row-sum as the effective width, and budgets
+    ``train_coarse_percent * min(h0*w0, h1*w1)`` candidates
+    (coarse_matching.py:200-204; the reference sums over the batch because
+    its selection is batch-global — here selection is per pair, so the
+    budget is per pair too).
+
+    mask0/mask1: [B, hc, wc] bool.  Returns int32 [B].
+    """
+    def _extent(m):
+        mi = m.astype(jnp.int32)
+        h = jnp.max(jnp.sum(mi, axis=1), axis=-1)   # [B]
+        w = jnp.max(jnp.sum(mi, axis=2), axis=-1)   # [B]
+        return h * w
+    cand = jnp.minimum(_extent(mask0), _extent(mask1))  # [B]
+    return jnp.floor(percent * cand.astype(jnp.float32)).astype(jnp.int32)
+
+
 def select_train_matches(cand: CandidateMatches,
                          gt_j: jax.Array, gt_valid: jax.Array,
                          rng: jax.Array, k_train: int,
-                         pad_num_gt_min: int) -> CoarseMatches:
+                         pad_num_gt_min: int,
+                         budget: Optional[jax.Array] = None) -> CoarseMatches:
     """Training-time selection with GT padding (coarse_matching.py:198-236).
 
     Keeps at most ``k_train - pad_num_gt_min`` random predicted matches and
@@ -174,11 +199,25 @@ def select_train_matches(cand: CandidateMatches,
     gt_j/gt_valid: [B, L] per-row GT partners (Supervision.gt_j/gt_valid).
     If a pair has no GT at all, dummy (0,0) entries are used
     (supervision.py:92-97 semantics).
+
+    budget: optional int32 [B] per-pair mask-aware capacity
+    (:func:`mask_match_budget`, reference coarse_matching.py:200-204).
+    Slots beyond the budget get mask=False so losses ignore them; the
+    array capacity stays the static ``k_train``.
     """
     B, L = cand.valid.shape
     k_pred_max = k_train - pad_num_gt_min
     assert k_pred_max > 0, "pad_num_gt_min must be < k_train"
     rng_pred, rng_gt_sel, rng_gt_pick = jax.random.split(rng, 3)
+
+    slot = jnp.arange(k_train)[None, :]
+    if budget is None:
+        eff = jnp.full((B, 1), k_train, jnp.int32)
+        eff_pred = jnp.full((B, 1), k_pred_max, jnp.int32)
+    else:
+        # reference asserts pad_num_gt_min < budget (coarse_matching.py:206)
+        eff = jnp.clip(budget, pad_num_gt_min + 1, k_train)[:, None]
+        eff_pred = eff - pad_num_gt_min
 
     # --- predicted slots: random priority over valid candidates ---
     pri = jax.random.uniform(rng_pred, (B, L), minval=0.1, maxval=1.0)
@@ -189,8 +228,7 @@ def select_train_matches(cand: CandidateMatches,
     pred_conf = jnp.take_along_axis(cand.mconf, pred_order, axis=1)
     pred_valid = jnp.take_along_axis(cand.valid, pred_order, axis=1)
     # cap the number of predicted slots so >= pad_num_gt_min GT slots remain
-    slot = jnp.arange(k_train)[None, :]
-    pred_take = pred_valid & (slot < k_pred_max)
+    pred_take = pred_valid & (slot < eff_pred)
 
     # --- GT pool: compact valid GT rows to the front in random order ---
     gpri = jax.random.uniform(rng_gt_sel, (B, L), minval=0.1, maxval=1.0)
@@ -210,8 +248,8 @@ def select_train_matches(cand: CandidateMatches,
     i_ids = jnp.where(pred_take, pred_i, gt_rows)
     j_ids = jnp.where(pred_take, pred_j, gt_cols)
     mconf = jnp.where(pred_take, pred_conf, 0.0)
-    gt_mask = ~pred_take
-    mask = jnp.ones_like(pred_take)  # every slot populated
+    mask = slot < eff  # all k_train slots without a budget
+    gt_mask = mask & ~pred_take
     return CoarseMatches(i_ids=i_ids, j_ids=j_ids, mconf=mconf,
                          mask=mask, gt_mask=gt_mask)
 

@@ -34,6 +34,23 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     return Mesh(grid, ("data", "model"))
 
 
+def make_seq_mesh(n_data: Optional[int] = None, n_seq: int = 1,
+                  devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """A ('data', 'seq') mesh for sequence-parallel runs.
+
+    'seq' shards the coarse token axis inside the transformer
+    (models/transformer.py::_seq_constrain, cfg.loftr.coarse.seq_axis='seq')
+    so very large images (L >> 1e4) fit across chips; communication is one
+    psum of the tiny [H, D, Dv+1] linear-attention statistics per layer.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_seq
+    grid = np.asarray(devices[: n_data * n_seq]).reshape(n_data, n_seq)
+    return Mesh(grid, ("data", "seq"))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis (batch) sharding over the 'data' axis."""
     return NamedSharding(mesh, P("data"))

@@ -49,6 +49,12 @@ class Trainer:
                  batch_size_per_device: int = 1):
         self.config = config
         self.model = LoFTR(config.loftr)
+        # val loss needs the materialized conf matrix; the fused Pallas
+        # inference matcher (default for deployment) never builds it, so
+        # validation runs the XLA oracle path (identical param tree)
+        self.val_model = LoFTR(config.replaced({"loftr": {
+            "match_coarse": {"use_pallas": False},
+            "fine": {"use_pallas": False}}}).loftr)
         true_lr, warmup = config.scaled_lr(world_size, batch_size_per_device)
         self.tx = build_optimizer(config.trainer, true_lr, warmup)
         # gradient accumulation: apply the optimizer once per accum_steps
@@ -121,7 +127,8 @@ class Trainer:
         (lightning_loftr.py:135-156 semantics - loss computed on the top-K
         predicted matches with slot masks, no GT padding)."""
         spv = coarse_supervision(batch, self._res_c)
-        out = self._eval_step(state, batch)
+        out = self.val_model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats}, batch)
         expec_f_gt = fine_supervision(spv, out.coarse, batch,
                                       self._res_f, self._window)
         loss, scalars = loftr_loss(out, spv, expec_f_gt, batch,

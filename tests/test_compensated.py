@@ -3,6 +3,7 @@ transformations must survive jit/XLA compilation (no fp reassociation)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from loftr_tpu.ops import compensated as cf
 
@@ -56,6 +57,7 @@ def test_df_dot_beats_f32():
     assert abs(got - exact) <= abs(plain - exact) + 1e-12
 
 
+@pytest.mark.heavy
 def test_five_point_gn_polish_accuracy():
     """With compensated residuals the solver recovers GT essential matrices
     that plain-f32 polish loses to twisted-pair cancellation (seeds from a

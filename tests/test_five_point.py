@@ -117,6 +117,7 @@ def _synth5(seed):
     return p0, p1, E_gt / np.linalg.norm(E_gt)
 
 
+@pytest.mark.heavy
 def test_tpu_5point_recovers_gt_essential():
     """Batched on-device solver finds the GT essential matrix (up to sign)
     among its root candidates, across many random geometries including
@@ -141,6 +142,7 @@ def test_tpu_5point_recovers_gt_essential():
     assert fails <= 2, f"{fails}/{B} geometries missed the GT solution"
 
 
+@pytest.mark.heavy
 def test_tpu_5point_solutions_satisfy_epipolar():
     """Every returned E annihilates all 5 correspondences and sits on the
     essential manifold (det E = 0, 2 E E^T E - tr E)."""
@@ -164,6 +166,7 @@ def test_tpu_5point_solutions_satisfy_epipolar():
         assert np.abs(M).max() < 1e-3
 
 
+@pytest.mark.heavy
 def test_ransac_5pt_solver_recovers_pose():
     """RANSAC with on-device minimal 5-point hypotheses under heavy
     outliers."""

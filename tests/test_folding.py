@@ -56,10 +56,12 @@ def test_backbone_folding_matches_bn_eval():
                                rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.heavy
 def test_full_matcher_folding_end_to_end():
     rng = np.random.RandomState(1)
     cfg = get_config("indoor_ds", {"loftr": {"match_coarse": {
-        "max_matches": 64}}})
+        "max_matches": 64, "use_pallas": False},
+        "fine": {"use_pallas": False}}})
     model = LoFTR(cfg.loftr)
     inp = MatchInput(
         image0=jnp.asarray(rng.rand(1, 64, 64, 1), jnp.float32),
@@ -101,7 +103,9 @@ def test_channel_pad_preserves_function():
         image1=jnp.asarray(r.rand(1, 64, 64, 1), jnp.float32))
     cfg = get_config("indoor_ds",
                      {"loftr": {"dtype": "float32",
-                                "match_coarse": {"max_matches": 16}}})
+                                "match_coarse": {"max_matches": 16,
+                                                 "use_pallas": False},
+                                "fine": {"use_pallas": False}}})
     model = LoFTR(cfg.loftr)
     v = model.init(jax.random.PRNGKey(0), inp)
     want = model.apply(v, inp)
@@ -116,6 +120,7 @@ def test_channel_pad_preserves_function():
                                np.asarray(want.expec_f), atol=1e-5)
 
 
+@pytest.mark.heavy
 def test_channel_pad_composes_with_fold():
     import numpy as np
     from loftr_tpu import LoFTR, MatchInput, get_config
@@ -127,7 +132,9 @@ def test_channel_pad_composes_with_fold():
         image1=jnp.asarray(r.rand(1, 64, 64, 1), jnp.float32))
     cfg = get_config("indoor_ds",
                      {"loftr": {"dtype": "float32",
-                                "match_coarse": {"max_matches": 16}}})
+                                "match_coarse": {"max_matches": 16,
+                                                 "use_pallas": False},
+                                "fine": {"use_pallas": False}}})
     model = LoFTR(cfg.loftr)
     v = model.init(jax.random.PRNGKey(0), inp)
     want = model.apply(v, inp)

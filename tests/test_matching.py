@@ -119,6 +119,52 @@ def test_select_train_matches_static_capacity():
     assert (~gt_mask).sum() == 5
 
 
+def test_select_train_matches_mask_budget():
+    """Mask-aware train capacity (reference coarse_matching.py:46-56,
+    200-204): with padding masks, the per-pair budget is
+    train_coarse_percent * min(effective areas); over-budget slots are
+    masked out while the array capacity stays static."""
+    from loftr_tpu.ops.matching import mask_match_budget
+    h = w = 6
+    L = h * w
+    # pair 0: full masks; pair 1: only a 3x4 region valid
+    pm = np.zeros((2, h, w), bool)
+    pm[0] = True
+    pm[1, :3, :4] = True
+    budget = np.asarray(mask_match_budget(
+        jnp.asarray(pm), jnp.asarray(pm), 0.5))
+    np.testing.assert_array_equal(budget, [18, 6])  # 0.5*36, 0.5*12
+
+    pairs = [(b, i, i, 0.5) for b in range(2) for i in range(5, 10)]
+    conf = _planted_conf(2, h, w, h, w, pairs)
+    cand = mutual_nearest_candidates(jnp.asarray(conf), 0.2, 0,
+                                     (h, w), (h, w))
+    gt_j = np.zeros((2, L), np.int32)
+    gt_valid = np.zeros((2, L), bool)
+    for i in range(20, 30):
+        gt_j[:, i] = i + 1
+        gt_valid[:, i] = True
+    k_train, pad_min = 12, 4
+    m = select_train_matches(cand, jnp.asarray(gt_j), jnp.asarray(gt_valid),
+                             jax.random.PRNGKey(0), k_train, pad_min,
+                             budget=jnp.asarray(budget))
+    mask = np.asarray(m.mask)
+    gt_mask = np.asarray(m.gt_mask)
+    # pair 0: budget 18 > k_train -> all 12 slots live
+    assert mask[0].sum() == k_train
+    # pair 1: budget 6 -> exactly 6 live slots, rest masked out
+    assert mask[1].sum() == 6
+    # within pair 1's live slots: at most budget-pad_min=2 predictions
+    assert (~gt_mask[1] & mask[1]).sum() <= 2
+    assert (gt_mask[1] & mask[1]).sum() >= pad_min
+    # gt_mask never marks a dead slot
+    assert not (gt_mask & ~mask).any()
+    # budget=None behaves as before: every slot filled
+    m0 = select_train_matches(cand, jnp.asarray(gt_j), jnp.asarray(gt_valid),
+                              jax.random.PRNGKey(0), k_train, pad_min)
+    assert np.asarray(m0.mask).all()
+
+
 def test_select_train_matches_no_gt_dummy():
     h = w = 4
     L = h * w

@@ -124,7 +124,10 @@ class _PerfectMatcherEvaluator:
             expec_f=jnp.zeros((B, K_cap, 3)))
 
 
-@pytest.mark.parametrize("solver", ["opencv", "jax", "jax5pt", "native", "5pt"])
+@pytest.mark.parametrize("solver", [
+    "opencv", "jax",
+    pytest.param("jax5pt", marks=pytest.mark.heavy),  # ~140 s on CPU
+    "native", "5pt"])
 def test_evaluator_perfect_matches(solver):
     from loftr_tpu.config import get_config
     from loftr_tpu.structs import MatchInput

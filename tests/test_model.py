@@ -11,18 +11,26 @@ from loftr_tpu.losses import loftr_loss
 
 
 def _small_cfg(**over):
-    cfg = get_config("default").replaced({
-        "loftr": {
-            "backbone": {"initial_dim": 16, "block_dims": (16, 24, 32)},
-            "coarse": {"d_model": 32, "nhead": 4,
-                       "layer_names": ("self", "cross")},
-            "fine": {"d_model": 16, "nhead": 2,
-                     "layer_names": ("self", "cross"), "window_size": 5},
-            "match_coarse": {"max_matches": 16, "train_matches": 12,
-                             "train_pad_num_gt_min": 4},
-            **over,
-        }})
-    return cfg
+    # XLA-oracle config: fused-Pallas inference paths off (they are the
+    # shipped DEFAULT, covered by test_pallas_path_equals_xla_path and
+    # tests/test_golden.py; interpret mode would also dominate CPU runtime)
+    base = {
+        "backbone": {"initial_dim": 16, "block_dims": (16, 24, 32)},
+        "coarse": {"d_model": 32, "nhead": 4,
+                   "layer_names": ("self", "cross")},
+        "fine": {"d_model": 16, "nhead": 2,
+                 "layer_names": ("self", "cross"), "window_size": 5,
+                 "use_pallas": False},
+        "match_coarse": {"max_matches": 16, "train_matches": 12,
+                         "train_pad_num_gt_min": 4,
+                         "use_pallas": False},
+    }
+    for key, value in over.items():
+        if isinstance(value, dict) and isinstance(base.get(key), dict):
+            base[key] = {**base[key], **value}
+        else:
+            base[key] = value
+    return get_config("default").replaced({"loftr": base})
 
 
 def _inputs(B=1, H=64, W=64, masked=False, seed=0):

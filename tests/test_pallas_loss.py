@@ -106,6 +106,7 @@ def test_fused_loss_multi_tile():
                                rtol=1e-3, atol=1e-7)
 
 
+@pytest.mark.heavy
 def test_fused_training_step_matches_standard():
     """Full train step with the fused loss path == the standard path:
     same loss, same parameter gradients."""

@@ -4,6 +4,7 @@ accumulation order."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from loftr_tpu.ops.attention import linear_attention
 from loftr_tpu.ops.pallas.window_attention import window_linear_attention
@@ -57,6 +58,7 @@ def test_window_attention_under_jit_and_odd_counts():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.heavy
 def test_fused_matcher_fine_stage_matches_xla():
     """Full matcher: fine.use_pallas inference output == XLA fine path."""
     from loftr_tpu import LoFTR, MatchInput, get_config

@@ -149,3 +149,137 @@ def test_tensor_parallel_param_sharding():
     np.testing.assert_allclose(np.asarray(got.mkpts1_f),
                                np.asarray(want.mkpts1_f),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_full_model_seq_sharded_matches_unsharded():
+    """Sequence parallelism as a MODEL capability (SURVEY.md §5.7): the full
+    matcher with cfg.coarse.seq_axis='seq' on a ('data','seq') mesh produces
+    the same matches as single-device execution.  Uses a large-ish token
+    count (64x64 image -> L=64 tokens at 1/8) split 4-ways."""
+    from loftr_tpu import LoFTR, MatchInput, get_config
+    from loftr_tpu.parallel.mesh import make_seq_mesh
+
+    over = {"loftr": {
+        "backbone": {"initial_dim": 8, "block_dims": (8, 12, 16)},
+        "coarse": {"d_model": 16, "nhead": 2,
+                   "layer_names": ("self", "cross")},
+        "fine": {"d_model": 8, "nhead": 2, "layer_names": ("self", "cross")},
+        "match_coarse": {"max_matches": 16, "thr": 0.05,
+                         "use_pallas": False},
+        "fine": {"d_model": 8, "nhead": 2, "layer_names": ("self", "cross"),
+                 "use_pallas": False}}}
+    cfg = get_config("default").replaced(over)
+    rng = np.random.RandomState(3)
+    inp = MatchInput(
+        image0=jnp.asarray(rng.rand(2, 64, 64, 1), jnp.float32),
+        image1=jnp.asarray(rng.rand(2, 64, 64, 1), jnp.float32))
+    model = LoFTR(cfg.loftr)
+    variables = model.init(jax.random.PRNGKey(0), inp)
+    want = model.apply(variables, inp)
+
+    cfg_sp = cfg.replaced({"loftr": {"coarse": {"seq_axis": "seq"}}})
+    model_sp = LoFTR(cfg_sp.loftr)
+    mesh = make_seq_mesh(n_data=2, n_seq=4)
+    with jax.set_mesh(mesh):
+        sharded = shard_batch(mesh, inp)
+        got = jax.jit(lambda v, i: model_sp.apply(v, i))(variables, sharded)
+    np.testing.assert_array_equal(np.asarray(got.valid),
+                                  np.asarray(want.valid))
+    np.testing.assert_array_equal(np.asarray(got.coarse.i_ids),
+                                  np.asarray(want.coarse.i_ids))
+    np.testing.assert_array_equal(np.asarray(got.coarse.j_ids),
+                                  np.asarray(want.coarse.j_ids))
+    np.testing.assert_allclose(np.asarray(got.mkpts1_f),
+                               np.asarray(want.mkpts1_f),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_train_step_seq_sharded_grads_match():
+    """Training with the coarse stage token-sharded: loss and gradients
+    match the unsharded run (seq parallelism is usable for training, not
+    just inference)."""
+    from loftr_tpu import LoFTR, MatchInput, get_config
+    from loftr_tpu.parallel.mesh import make_seq_mesh
+    from loftr_tpu.supervision import coarse_supervision, fine_supervision
+    from loftr_tpu.losses import loftr_loss
+
+    cfg = get_config("default").replaced({"loftr": {
+        "backbone": {"initial_dim": 8, "block_dims": (8, 12, 16)},
+        "coarse": {"d_model": 16, "nhead": 2,
+                   "layer_names": ("self", "cross")},
+        "fine": {"d_model": 8, "nhead": 2, "layer_names": ("self", "cross")},
+        "match_coarse": {"max_matches": 8, "train_matches": 8,
+                         "train_pad_num_gt_min": 2},
+        # fine_correct_thr gates each window's fine loss on
+        # |offset| < thr; near the boundary a float-reduction-order
+        # wobble (~3e-5) flips windows in/out discretely, which shows up
+        # as few-percent grad differences in the fine->backbone path.
+        # A huge thr removes the discreteness so this test compares the
+        # continuous math only; plain l2 drops the detached-1/std weight,
+        # another chaotic amplifier of float-reduction-order wobble.
+        "loss": {"fine_correct_thr": 100.0, "fine_type": "l2"}}})
+    rng = np.random.RandomState(5)
+    B, H, W = 2, 64, 64
+    Kc = np.array([[[50., 0, W / 2], [0, 50., H / 2], [0, 0, 1]]] * B,
+                  np.float32)
+    T = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+    inp = MatchInput(
+        image0=jnp.asarray(rng.rand(B, H, W, 1), jnp.float32),
+        image1=jnp.asarray(rng.rand(B, H, W, 1), jnp.float32),
+        depth0=jnp.asarray(rng.rand(B, H, W) * 2 + 1, jnp.float32),
+        depth1=jnp.asarray(rng.rand(B, H, W) * 2 + 1, jnp.float32),
+        T_0to1=jnp.asarray(T), T_1to0=jnp.asarray(T),
+        K0=jnp.asarray(Kc), K1=jnp.asarray(Kc))
+    spv = coarse_supervision(inp, 8)
+
+    def make_loss(model):
+        def loss_fn(params, bstats, b):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": bstats}, b, train=True,
+                rng=jax.random.PRNGKey(7), gt_j=spv.gt_j,
+                gt_valid=spv.gt_valid, mutable=["batch_stats"])
+            egt = fine_supervision(spv, out.coarse, b, 2, 5)
+            loss, _ = loftr_loss(out, spv, egt, b, cfg.loftr.loss,
+                                 cfg.loftr.match_coarse)
+            return loss
+        return loss_fn
+
+    model = LoFTR(cfg.loftr)
+    variables = model.init(jax.random.PRNGKey(0), inp)
+    want_loss, want_grads = jax.value_and_grad(make_loss(model))(
+        variables["params"], variables["batch_stats"], inp)
+
+    cfg_sp = cfg.replaced({"loftr": {"coarse": {"seq_axis": "seq"}}})
+    model_sp = LoFTR(cfg_sp.loftr)
+    mesh = make_seq_mesh(n_data=2, n_seq=4)
+    with jax.set_mesh(mesh):
+        got_loss, got_grads = jax.jit(jax.value_and_grad(
+            make_loss(model_sp)))(
+            variables["params"], variables["batch_stats"],
+            shard_batch(mesh, inp))
+    np.testing.assert_allclose(float(got_loss), float(want_loss),
+                               rtol=1e-5, atol=1e-6)
+    # Gradients: the psum's different reduction order perturbs the forward
+    # by ~3e-5; the focal loss's log(conf) on ~1/L² -sized cells amplifies
+    # that chaotically along the backbone path, so elementwise equality is
+    # not attainable (or meaningful) there.  Assert tightly on the
+    # transformer (where the sharding actually lives) and normwise +
+    # direction on the backbone.
+    flat_w = jax.tree_util.tree_flatten_with_path(want_grads)[0]
+    flat_g = jax.tree.leaves(got_grads)
+    for (path, w), g in zip(flat_w, flat_g):
+        name = jax.tree_util.keystr(path)
+        w = np.asarray(w, np.float64).ravel()
+        g = np.asarray(g, np.float64).ravel()
+        nw = np.linalg.norm(w)
+        if nw < 1e-12:
+            assert np.linalg.norm(g) < 1e-9, name
+            continue
+        rel = np.linalg.norm(g - w) / nw
+        cos = float(g @ w / (np.linalg.norm(g) * nw + 1e-30))
+        if "backbone" in name:
+            assert rel < 8e-2, (name, rel)
+            assert cos > 0.995, (name, cos)
+        else:
+            assert rel < 1e-2, (name, rel)
+            assert cos > 0.9999, (name, cos)

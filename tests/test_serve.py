@@ -134,6 +134,7 @@ def test_service_rejects_after_close():
                    np.zeros((64, 64), np.float32))
 
 
+@pytest.mark.heavy
 def test_service_multi_device_mesh():
     """Data-parallel serving: rows sharded over a 4-device 'data' axis give
     the same matches as the unsharded service; rungs round to multiples."""

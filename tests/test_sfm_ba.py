@@ -1,5 +1,6 @@
 """Bundle-adjustment tests on synthetic multi-view geometry."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -130,6 +131,7 @@ def test_ate_alignment():
     np.testing.assert_allclose(ate["scale"], 2.0, rtol=1e-5)
 
 
+@pytest.mark.heavy
 def test_sharded_ba_matches_single_device():
     """Point-sharded psum BA == single-device BA (collective correctness)."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -163,6 +165,7 @@ def test_sharded_ba_matches_single_device():
                                rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.heavy
 def test_sharded_ba_full_loop():
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
     from loftr_tpu.sfm.bundle_adjustment import bundle_adjust_sharded
@@ -241,6 +244,7 @@ def test_pcg_full_loop_converges():
     assert ate["ate_rmse"] < 1e-3, ate
 
 
+@pytest.mark.heavy
 def test_sharded_pcg_matches_single_device():
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
     from loftr_tpu.sfm.bundle_adjustment import (ba_iteration,

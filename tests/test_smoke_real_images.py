@@ -31,7 +31,7 @@ def test_matcher_on_real_pair():
         "coarse": {"d_model": 32, "nhead": 4,
                    "layer_names": ("self", "cross")},
         "fine": {"d_model": 16, "nhead": 2, "layer_names": ("self", "cross")},
-        "match_coarse": {"max_matches": 64}}})
+        "match_coarse": {"max_matches": 64, "use_pallas": False}}})
     model = LoFTR(cfg.loftr)
     variables = model.init(jax.random.PRNGKey(0), inp)
     out = jax.jit(lambda v, i: model.apply(v, i))(variables, inp)

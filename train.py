@@ -55,7 +55,10 @@ def parse_args():
     p.add_argument("--config-json", default=None,
                    help="JSON dict of nested config overrides")
     p.add_argument("--val-npz-path", default=None,
-                   help="scannet-style val npz (enables per-epoch val)")
+                   help="val npz (enables per-epoch val)")
+    p.add_argument("--val-dataset", default=None,
+                   choices=["scannet", "megadepth"],
+                   help="val dataset family (default: same as --dataset)")
     p.add_argument("--val-data-root", default=None)
     p.add_argument("--val-dump", action="store_true",
                    help="save per-pair val records (render with "
@@ -69,7 +72,12 @@ def parse_args():
 def build_datasets(args, cfg, world_size, rank):
     from loftr_tpu.data import (MegaDepthDataset, ScanNetDataset,
                                 get_local_split)
+    from loftr_tpu.data.augment import build_augmentor
     from loftr_tpu.data.sampler import ConcatDataset
+
+    # dataset.augmentation_type -> working DarkAug/MobileAug (the reference
+    # declares but disables these, src/utils/augment.py:41-51)
+    augment_fn = build_augmentor(cfg.dataset.augmentation_type)
 
     with open(args.list_path) as f:
         scenes = [ln.strip() for ln in f if ln.strip()]
@@ -80,14 +88,35 @@ def build_datasets(args, cfg, world_size, rank):
         if args.dataset == "scannet":
             datasets.append(ScanNetDataset(
                 args.data_root, npz, args.intrinsic_path, mode="train",
-                min_overlap_score=cfg.dataset.min_overlap_score_train))
+                min_overlap_score=cfg.dataset.min_overlap_score_train,
+                augment_fn=augment_fn))
         else:
             datasets.append(MegaDepthDataset(
                 args.data_root, npz, mode="train",
                 min_overlap_score=cfg.dataset.min_overlap_score_train,
                 img_resize=args.img_resize, df=cfg.dataset.mgdpt_df,
-                img_padding=True, depth_padding=True))
+                img_padding=True, depth_padding=True,
+                augment_fn=augment_fn))
     return ConcatDataset(datasets)
+
+
+def build_val_dataset(args, cfg):
+    """Validation dataset (ScanNet or MegaDepth), built once.
+
+    The reference validates on either dataset family
+    (src/lightning/data.py:106-156); --val-dataset defaults to the train
+    dataset family.
+    """
+    from loftr_tpu.data import MegaDepthDataset, ScanNetDataset
+    kind = args.val_dataset or args.dataset
+    root = args.val_data_root or args.data_root
+    if kind == "scannet":
+        return ScanNetDataset(root, args.val_npz_path, args.intrinsic_path,
+                              mode="test")
+    return MegaDepthDataset(
+        root, args.val_npz_path, mode="test",
+        min_overlap_score=0.0, img_resize=args.img_resize,
+        df=cfg.dataset.mgdpt_df, img_padding=True, depth_padding=True)
 
 
 def main():
@@ -157,6 +186,14 @@ def main():
         lambda x: x[:1] if x is not None else None, first,
         is_leaf=lambda x: x is None)
 
+    # val dataset + Evaluator built ONCE (the jitted forward is reused across
+    # epochs; only the variables are swapped) - per-epoch reconstruction
+    # would recompile and re-read the npz every epoch
+    val_ds, evaluator = None, None
+    if args.val_npz_path:
+        from loftr_tpu.eval.evaluator import Evaluator
+        val_ds = build_val_dataset(args, cfg)
+
     with jax.set_mesh(mesh):
         state = trainer.init_state(jax.random.PRNGKey(cfg.trainer.seed),
                                    example)
@@ -181,17 +218,16 @@ def main():
                     logger.close()
                     return
             metrics = {}
-            if args.val_npz_path:
-                from loftr_tpu.data import ScanNetDataset
-                from loftr_tpu.eval.evaluator import Evaluator
-                val_ds = ScanNetDataset(
-                    args.val_data_root or args.data_root, args.val_npz_path,
-                    args.intrinsic_path, mode="test")
+            if val_ds is not None:
                 host_state = jax.device_get(state)
-                ev = Evaluator(cfg, {"params": host_state.params,
-                                     "batch_stats": host_state.batch_stats},
-                               pose_solver=args.val_pose_solver)
-                metrics = ev.evaluate_dataset(
+                variables = {"params": host_state.params,
+                             "batch_stats": host_state.batch_stats}
+                if evaluator is None:
+                    evaluator = Evaluator(cfg, variables,
+                                          pose_solver=args.val_pose_solver)
+                else:
+                    evaluator.variables = variables
+                metrics = evaluator.evaluate_dataset(
                     val_ds, batch_size=args.batch_size,
                     num_workers=args.num_workers,
                     world_size=world_size, rank=rank,
