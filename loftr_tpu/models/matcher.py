@@ -80,12 +80,21 @@ class LoFTR(nn.Module):
         mask_c0 = None if inp.mask0 is None else inp.mask0.reshape(B, L)
         mask_c1 = None if inp.mask1 is None else inp.mask1.reshape(B, S)
 
+        # Fused Pallas inference kernels are compiled for the bf16
+        # deployment dtype; at fp32 their doubled VMEM tile footprint blows
+        # up the TPU compiler (observed: compile-helper OOM/SIGKILL at
+        # 640x480).  fp32 configs transparently take the XLA oracle paths
+        # on TPU; non-TPU backends (interpret-mode tests) are unaffected.
+        pallas_dtype_ok = (cfg.dtype == "bfloat16"
+                           or jax.default_backend() != "tpu")
+
         # [3] coarse transformer (loftr.py:64).  Inference uses the fused
         # Pallas encoder layers (same param tree; ops/pallas/coarse_layer.py);
         # with cfg.coarse.seq_axis the XLA stack runs token-sharded over that
         # mesh axis instead (sequence parallelism, SURVEY.md §5.7).
         seq_axis = getattr(cfg.coarse, "seq_axis", None)
         if (cfg.coarse.use_pallas and not train and seq_axis is None
+                and pallas_dtype_ok
                 and cfg.coarse.attention == "linear"):
             feat_c0, feat_c1 = FusedCoarseTransformer(
                 d_c, cfg.coarse.nhead, cfg.coarse.layer_names,
@@ -107,7 +116,7 @@ class LoFTR(nn.Module):
                        mc.match_type == "dual_softmax" and
                        not mc.sparse_spvs and cfg.loss.coarse_type == "focal")
         use_pallas = (fused_train or
-                      (mc.use_pallas and not train and
+                      (mc.use_pallas and not train and pallas_dtype_ok and
                        mc.match_type in ("dual_softmax", "sinkhorn")))
         if use_pallas and mc.match_type == "dual_softmax":
             # fused kernel: no [L, S] conf matrix is ever materialized
@@ -197,6 +206,7 @@ class LoFTR(nn.Module):
         # as the XLA layer stack, so checkpoints drive either path.
         K = win0.shape[1]
         fuse_fine = (cfg.fine.use_pallas and not train
+                     and pallas_dtype_ok
                      and cfg.fine.attention == "linear"
                      and tuple(cfg.fine.layer_names) == ("self", "cross"))
         if fuse_fine:
