@@ -39,6 +39,11 @@ class BackboneConfig:
     # 'batch' matches the reference BatchNorm2d (resnet_fpn.py:20-21); 'group'
     # is the TPU-friendly alternative that needs no cross-device stat sync.
     norm: str = "batch"
+    # Winograd F(2x2,3x3) for the stride-1 3x3 convs at inference
+    # (ops/winograd.py).  MEASURED SLOWER on v5e than XLA's direct conv
+    # (which already runs at ~peak MXU; see ops/winograd.py header) -
+    # retained as a validated reference implementation.  Keep False.
+    winograd: bool = False
 
 
 @dataclass(frozen=True)

@@ -42,6 +42,42 @@ def conv(features: int, kernel: int, stride: int = 1, name: str | None = None,
                    dtype=dtype, name=name)
 
 
+class WinoConv3x3(nn.Module):
+    """Stride-1 3x3 conv evaluated via Winograd F(2x2,3x3)
+    (ops/winograd.py) — 2.25x fewer MXU FLOPs than the direct form.
+
+    Declares the SAME parameter tree as ``conv(features, 3)`` (nn.Conv's
+    'kernel'/'bias'), so checkpoints and init are interchangeable with the
+    direct path.  Inference fast path only; training and fp32-oracle runs
+    keep nn.Conv.
+    """
+    features: int
+    dtype: object = None
+    bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        from loftr_tpu.ops.winograd import winograd_conv3x3
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_out",
+                                             "truncated_normal"),
+            (3, 3, x.shape[-1], self.features))
+        b = (self.param("bias", nn.initializers.zeros, (self.features,))
+             if self.bias else None)
+        dt = self.dtype or x.dtype
+        return winograd_conv3x3(x.astype(dt), kernel.astype(dt),
+                                None if b is None else b.astype(dt))
+
+
+def conv3x3(features: int, name: str, dtype=None, bias: bool = False,
+            winograd: bool = False):
+    """Stride-1 3x3 conv: direct (nn.Conv) or Winograd — same param tree."""
+    if winograd:
+        return WinoConv3x3(features, dtype, bias, name=name)
+    return conv(features, 3, 1, name=name, dtype=dtype, bias=bias)
+
+
 class Norm(nn.Module):
     """BatchNorm (torch-default eps/momentum), GroupNorm-8, or 'none'.
 
@@ -77,14 +113,19 @@ class BasicBlock(nn.Module):
     stride: int = 1
     norm: str = "batch"
     dtype: object = None
+    winograd: bool = False  # stride-1 3x3 convs via ops/winograd.py
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         fb = self.norm == "none"  # folded: bias absorbs the BN affine
-        y = conv(self.planes, 3, self.stride, name="conv1",
-                 dtype=self.dtype, bias=fb)(x)
+        wg = self.winograd and not train
+        if self.stride == 1:
+            y = conv3x3(self.planes, "conv1", self.dtype, fb, wg)(x)
+        else:
+            y = conv(self.planes, 3, self.stride, name="conv1",
+                     dtype=self.dtype, bias=fb)(x)
         y = nn.relu(Norm(self.norm, name="bn1")(y, train))
-        y = conv(self.planes, 3, name="conv2", dtype=self.dtype, bias=fb)(y)
+        y = conv3x3(self.planes, "conv2", self.dtype, fb, wg)(y)
         y = Norm(self.norm, name="bn2")(y, train)
         if self.stride != 1:
             x = conv(self.planes, 1, self.stride, name="downsample_conv",
@@ -100,14 +141,16 @@ class FusionBlock(nn.Module):
     out: int
     norm: str = "batch"
     dtype: object = None
+    winograd: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = conv(self.mid, 3, name="conv1", dtype=self.dtype,
-                 bias=self.norm == "none")(x)
+        wg = self.winograd and not train
+        x = conv3x3(self.mid, "conv1", self.dtype,
+                    self.norm == "none", wg)(x)
         x = nn.leaky_relu(Norm(self.norm, name="bn")(x, train),
                           negative_slope=0.01)
-        return conv(self.out, 3, name="conv2", dtype=self.dtype)(x)
+        return conv3x3(self.out, "conv2", self.dtype, False, wg)(x)
 
 
 class ResNetFPN_8_2(nn.Module):
@@ -116,6 +159,7 @@ class ResNetFPN_8_2(nn.Module):
     block_dims: Sequence[int] = (128, 196, 256)
     norm: str = "batch"
     dtype: object = None
+    winograd: bool = False  # stride-1 3x3 convs via Winograd at inference
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -126,22 +170,22 @@ class ResNetFPN_8_2(nn.Module):
                  bias=self.norm == "none")(
                 x.astype(self.dtype) if self.dtype else x), train))
         # stages (resnet_fpn.py:64-66): two BasicBlocks each
-        x1 = BasicBlock(d[0], 1, self.norm, self.dtype, name="layer1_0")(x0, train)
-        x1 = BasicBlock(d[0], 1, self.norm, self.dtype, name="layer1_1")(x1, train)  # 1/2
-        x2 = BasicBlock(d[1], 2, self.norm, self.dtype, name="layer2_0")(x1, train)
-        x2 = BasicBlock(d[1], 1, self.norm, self.dtype, name="layer2_1")(x2, train)  # 1/4
-        x3 = BasicBlock(d[2], 2, self.norm, self.dtype, name="layer3_0")(x2, train)
-        x3 = BasicBlock(d[2], 1, self.norm, self.dtype, name="layer3_1")(x3, train)  # 1/8
+        x1 = BasicBlock(d[0], 1, self.norm, self.dtype, self.winograd, name="layer1_0")(x0, train)
+        x1 = BasicBlock(d[0], 1, self.norm, self.dtype, self.winograd, name="layer1_1")(x1, train)  # 1/2
+        x2 = BasicBlock(d[1], 2, self.norm, self.dtype, self.winograd, name="layer2_0")(x1, train)
+        x2 = BasicBlock(d[1], 1, self.norm, self.dtype, self.winograd, name="layer2_1")(x2, train)  # 1/4
+        x3 = BasicBlock(d[2], 2, self.norm, self.dtype, self.winograd, name="layer3_0")(x2, train)
+        x3 = BasicBlock(d[2], 1, self.norm, self.dtype, self.winograd, name="layer3_1")(x3, train)  # 1/8
 
         # FPN top-down (resnet_fpn.py:107-116)
         x3_out = conv(d[2], 1, name="layer3_outconv", dtype=self.dtype)(x3)
         x3_up = upsample2x_align_corners(x3_out)
         x2_out = conv(d[2], 1, name="layer2_outconv", dtype=self.dtype)(x2)
-        x2_out = FusionBlock(d[2], d[1], self.norm, self.dtype,
+        x2_out = FusionBlock(d[2], d[1], self.norm, self.dtype, self.winograd,
                              name="layer2_outconv2")(x2_out + x3_up, train)
         x2_up = upsample2x_align_corners(x2_out)
         x1_out = conv(d[1], 1, name="layer1_outconv", dtype=self.dtype)(x1)
-        x1_out = FusionBlock(d[1], d[0], self.norm, self.dtype,
+        x1_out = FusionBlock(d[1], d[0], self.norm, self.dtype, self.winograd,
                              name="layer1_outconv2")(x1_out + x2_up, train)
         return x3_out, x1_out  # coarse [B,H/8,W/8,C3], fine [B,H/2,W/2,C1]
 
@@ -153,6 +197,7 @@ class ResNetFPN_16_4(nn.Module):
     block_dims: Sequence[int] = (128, 196, 256, 512)
     norm: str = "batch"
     dtype: object = None
+    winograd: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -161,35 +206,36 @@ class ResNetFPN_16_4(nn.Module):
             conv(self.initial_dim, 7, 2, name="conv1", dtype=self.dtype,
                  bias=self.norm == "none")(
                 x.astype(self.dtype) if self.dtype else x), train))
-        x1 = BasicBlock(d[0], 1, self.norm, self.dtype, name="layer1_0")(x0, train)
-        x1 = BasicBlock(d[0], 1, self.norm, self.dtype, name="layer1_1")(x1, train)  # 1/2
-        x2 = BasicBlock(d[1], 2, self.norm, self.dtype, name="layer2_0")(x1, train)
-        x2 = BasicBlock(d[1], 1, self.norm, self.dtype, name="layer2_1")(x2, train)  # 1/4
-        x3 = BasicBlock(d[2], 2, self.norm, self.dtype, name="layer3_0")(x2, train)
-        x3 = BasicBlock(d[2], 1, self.norm, self.dtype, name="layer3_1")(x3, train)  # 1/8
-        x4 = BasicBlock(d[3], 2, self.norm, self.dtype, name="layer4_0")(x3, train)
-        x4 = BasicBlock(d[3], 1, self.norm, self.dtype, name="layer4_1")(x4, train)  # 1/16
+        x1 = BasicBlock(d[0], 1, self.norm, self.dtype, self.winograd, name="layer1_0")(x0, train)
+        x1 = BasicBlock(d[0], 1, self.norm, self.dtype, self.winograd, name="layer1_1")(x1, train)  # 1/2
+        x2 = BasicBlock(d[1], 2, self.norm, self.dtype, self.winograd, name="layer2_0")(x1, train)
+        x2 = BasicBlock(d[1], 1, self.norm, self.dtype, self.winograd, name="layer2_1")(x2, train)  # 1/4
+        x3 = BasicBlock(d[2], 2, self.norm, self.dtype, self.winograd, name="layer3_0")(x2, train)
+        x3 = BasicBlock(d[2], 1, self.norm, self.dtype, self.winograd, name="layer3_1")(x3, train)  # 1/8
+        x4 = BasicBlock(d[3], 2, self.norm, self.dtype, self.winograd, name="layer4_0")(x3, train)
+        x4 = BasicBlock(d[3], 1, self.norm, self.dtype, self.winograd, name="layer4_1")(x4, train)  # 1/16
 
         x4_out = conv(d[3], 1, name="layer4_outconv", dtype=self.dtype)(x4)
         x4_up = upsample2x_align_corners(x4_out)
         x3_out = conv(d[3], 1, name="layer3_outconv", dtype=self.dtype)(x3)
-        x3_out = FusionBlock(d[3], d[2], self.norm, self.dtype,
+        x3_out = FusionBlock(d[3], d[2], self.norm, self.dtype, self.winograd,
                              name="layer3_outconv2")(x3_out + x4_up, train)
         x3_up = upsample2x_align_corners(x3_out)
         x2_out = conv(d[2], 1, name="layer2_outconv", dtype=self.dtype)(x2)
-        x2_out = FusionBlock(d[2], d[1], self.norm, self.dtype,
+        x2_out = FusionBlock(d[2], d[1], self.norm, self.dtype, self.winograd,
                              name="layer2_outconv2")(x2_out + x3_up, train)
         return x4_out, x2_out
 
 
 def build_backbone(resolution: tuple, initial_dim: int,
                    block_dims: Sequence[int], norm: str = "batch",
-                   name: str = "backbone", dtype=None):
+                   name: str = "backbone", dtype=None,
+                   winograd: bool = False):
     """Dispatch like backbone/__init__.py:4-11."""
     if tuple(resolution) == (8, 2):
         return ResNetFPN_8_2(initial_dim, tuple(block_dims), norm, dtype,
-                             name=name)
+                             winograd, name=name)
     if tuple(resolution) == (16, 4):
         return ResNetFPN_16_4(initial_dim, tuple(block_dims), norm, dtype,
-                              name=name)
+                              winograd, name=name)
     raise ValueError(f"unsupported resolution {resolution}")

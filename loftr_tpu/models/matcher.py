@@ -60,7 +60,9 @@ class LoFTR(nn.Module):
         backbone = build_backbone(cfg.backbone.resolution,
                                   cfg.backbone.initial_dim,
                                   cfg.backbone.block_dims, cfg.backbone.norm,
-                                  name="backbone", dtype=dt)
+                                  name="backbone", dtype=dt,
+                                  winograd=getattr(cfg.backbone, "winograd",
+                                                   False))
         if (H0, W0) == (H1, W1):
             feat_c, feat_f = backbone(
                 jnp.concatenate([inp.image0, inp.image1], axis=0), train)
