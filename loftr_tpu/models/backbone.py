@@ -95,6 +95,15 @@ class Norm(nn.Module):
         if self.kind == "none":
             return x
         orig = x.dtype
+        if self.kind == "batch" and not train:
+            # Inference BatchNorm is an affine map with CONSTANT per-channel
+            # coefficients: fold them in fp32 (tiny [C] vectors), apply in
+            # the compute dtype.  Upcasting the whole activation tensor to
+            # fp32 (as the training path must for stats) doubles elementwise
+            # HBM traffic and blocks XLA from fusing the normalize into the
+            # producing conv's epilogue.  _BnEvalAffine declares the exact
+            # same param/batch_stats tree as nn.BatchNorm(name='bn').
+            return _BnEvalAffine(name="bn")(x)
         x = x.astype(jnp.float32)
         if self.kind == "batch":
             y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -104,6 +113,32 @@ class Norm(nn.Module):
         else:
             raise ValueError(self.kind)
         return y.astype(orig)
+
+
+class _BnEvalAffine(nn.Module):
+    """Eval-mode BatchNorm as a folded per-channel affine.
+
+    Same parameter/stats tree as flax ``nn.BatchNorm`` (params scale/bias,
+    batch_stats mean/var) so one variables dict drives both the training
+    path (nn.BatchNorm, fp32 stats) and this inference path.  The folded
+    inv/shift coefficients are computed in fp32 ([C] vectors, free), the
+    tensor-wide multiply-add runs in the input dtype where XLA can fuse it
+    into the producing conv's epilogue.
+    """
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((c,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((c,), jnp.float32))
+        inv = scale * jax.lax.rsqrt(var.value + self.epsilon)
+        shift = bias - mean.value * inv
+        return x * inv.astype(x.dtype) + shift.astype(x.dtype)
 
 
 class BasicBlock(nn.Module):

@@ -1,12 +1,23 @@
-"""Bilinear upsampling with align_corners=True semantics, as dense matmuls.
+"""Bilinear x2 upsampling with align_corners=True semantics.
 
 The reference FPN upsamples with
 ``F.interpolate(scale_factor=2, mode='bilinear', align_corners=True)``
 (/root/reference/src/loftr/backbone/resnet_fpn.py:110,114).  ``jax.image.resize``
-implements half-pixel-center sampling only, so align-corners is expressed here
-as two small dense interpolation matrices applied along H and W - separable
-1-D linear interpolation that XLA maps straight onto the MXU (better than a
-gather on TPU for these sizes, H,W <= ~512).
+implements half-pixel-center sampling only, so align-corners is implemented
+here directly, as separable 1-D linear interpolation.
+
+Two implementations:
+
+- ``gather`` (default): static-index row gathers along H then W plus a
+  two-tap lerp.  Keeps the tensor in canonical NHWC (C-minor) layout, so
+  surrounding convolutions stay in their fast layout.  This matters a lot:
+  the earlier matmul formulation's dot_general outputs were W-minor, and
+  XLA layout assignment then threaded NHCW layouts through the 1/2-res conv
+  chain, paying ~1 ms/pair of fused relayout work at 640x480 B=32 (seen
+  directly in the op-level trace: [64,240,256,320]->[64,240,320,256]
+  transpose-fusions around the FPN convs).
+- ``matmul``: the original pair of dense [2N, N] interpolation matmuls
+  (MXU work, but layout-hostile).  Kept as the oracle for tests.
 """
 from __future__ import annotations
 
@@ -32,20 +43,46 @@ def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
     return w.astype(np.float32)
 
 
-def upsample2x_align_corners(x: jax.Array) -> jax.Array:
-    """x: [B, H, W, C] -> [B, 2H, 2W, C], bilinear, align_corners=True.
+@functools.lru_cache(maxsize=64)
+def _lerp_taps(n_in: int, n_out: int):
+    """Static (lo, hi, frac) tap arrays for align-corners 1-D interp."""
+    if n_in == 1:
+        z = np.zeros(n_out, np.int32)
+        return z, z, np.zeros(n_out, np.float32)
+    src = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
+    lo = np.clip(np.floor(src).astype(np.int32), 0, n_in - 2)
+    frac = (src - lo).astype(np.float32)
+    return lo, lo + 1, frac
 
-    The interpolation matmuls run in the feature dtype: with f32 weights the
-    einsum promotes bf16 features to f32, materializing the 2x-upsampled FPN
-    tensor (e.g. [2B, H/2, W/2, 196] at 640x480) in f32 plus an extra layout
-    copy — measured ~1 ms/pair of pure HBM traffic on v5e. Two-tap weights
-    in bf16 are within the bf16 feature error budget; the MXU still
-    accumulates in f32 internally.
-    """
+
+def upsample2x_matmul(x: jax.Array) -> jax.Array:
+    """Matmul formulation (layout-hostile; test oracle)."""
     b, h, w, c = x.shape
     dt = x.dtype
     wh = jnp.asarray(_interp_matrix(h, 2 * h)).astype(dt)  # [2H, H]
     ww = jnp.asarray(_interp_matrix(w, 2 * w)).astype(dt)  # [2W, W]
-    x = jnp.einsum("oh,bhwc->bowc", wh, x)   # dtype-preserving: bf16 stays
-    x = jnp.einsum("ow,bhwc->bhoc", ww, x)   # bf16 in HBM (f32 MXU accum)
+    x = jnp.einsum("oh,bhwc->bowc", wh, x)
+    x = jnp.einsum("ow,bhwc->bhoc", ww, x)
     return x
+
+
+def upsample2x_gather(x: jax.Array) -> jax.Array:
+    """Gather+lerp formulation.  MEASURED SLOWER end-to-end than the matmul
+    form on v5e (98 vs 122 pairs/s in bench.py): TPU lowers the static row
+    gathers on the big 1/2-res tensors poorly, costing more than the NHCW
+    relayouts it avoids.  Kept for reference/CPU.
+    """
+    b, h, w, c = x.shape
+    dt = x.dtype
+    lo_h, hi_h, f_h = _lerp_taps(h, 2 * h)
+    lo_w, hi_w, f_w = _lerp_taps(w, 2 * w)
+    fh = jnp.asarray(f_h).astype(dt)[None, :, None, None]
+    x = x[:, lo_h] * (1 - fh) + x[:, hi_h] * fh
+    fw = jnp.asarray(f_w).astype(dt)[None, None, :, None]
+    x = x[:, :, lo_w] * (1 - fw) + x[:, :, hi_w] * fw
+    return x
+
+
+# Default: the matmul form.  See upsample2x_gather's note - the gather
+# variant measured slower end-to-end despite its friendlier layout.
+upsample2x_align_corners = upsample2x_matmul
