@@ -26,20 +26,21 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
-    ap.add_argument("--batch", type=int, default=32)  # amortizes the axon
-    # relay's non-pipelining per-dispatch latency (B=8: ~208/s, B=32:
-    # ~222/s on the same chip); HBM fits it since the fused matcher never
-    # materializes [L, S]
+    ap.add_argument("--batch", type=int, default=64)  # B=64/live=1 measured
+    # 127.9 vs 122.6 pairs/s at B=32/live=2 (round 3, steady deltas); HBM
+    # fits it since the fused matcher never materializes [L, S]
     ap.add_argument("--iters", type=int, default=40)
     ap.add_argument("--debug", action="store_true",
                     help="print per-rep completion deltas to stderr")
     ap.add_argument("--res", default="640x480",
                     help="WxH input resolution (640x480 ScanNet flagship; "
                          "840x840 = MegaDepth eval size)")
-    ap.add_argument("--n-inner", type=int, default=4,
+    ap.add_argument("--n-inner", type=int, default=2,
                     help="distinct batches unrolled inside one jitted "
-                         "program (amortizes relay dispatch latency)")
-    ap.add_argument("--live", type=int, default=2,
+                         "program (amortizes relay dispatch latency; "
+                         "measured negligible overhead at B=64 - device "
+                         "busy time is within 0.6%% of end-to-end)")
+    ap.add_argument("--live", type=int, default=1,
                     help="max unrolled copies concurrently live: copy k "
                          "takes a data dependency on copy k-live, bounding "
                          "peak HBM to ~live copies while letting XLA "

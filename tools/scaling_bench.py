@@ -71,6 +71,7 @@ def main():
     while n <= n_max:
         sweep.append(n)
         n *= 2
+    records = []
     for n_dev in sweep:
         mesh = make_mesh(n_data=n_dev, devices=jax.devices()[:n_dev])
         B = args.batch_per_device * n_dev
@@ -86,8 +87,24 @@ def main():
         pps = B * args.iters / dt
         results[n_dev] = pps
         eff = pps / (results[1] * n_dev)
-        print(json.dumps({"devices": n_dev, "pairs_per_s": round(pps, 2),
-                          "scaling_efficiency": round(eff, 3)}))
+        rec = {"devices": n_dev, "pairs_per_s": round(pps, 2),
+               "scaling_efficiency": round(eff, 3)}
+        records.append(rec)
+        print(json.dumps(rec))
+
+    out = os.path.join(os.path.dirname(__file__), "..", "perf",
+                       "scaling_bench.json")
+    os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump({
+            "backend": jax.default_backend(),
+            "tiny": bool(args.tiny),
+            "note": ("fake CPU devices share the same host cores, so "
+                     "efficiency numbers are meaningless there - the sweep "
+                     "is a sharding-correctness/throughput harness; on a "
+                     "real multi-chip slice it measures true ICI scaling "
+                     "(only one physical chip exists in this image)"),
+            "results": records}, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -59,7 +59,9 @@ def main():
     for fused_loss in (False, True):
         cfg = get_config("indoor_ds", {
             "loftr": {"dtype": args.dtype,
-                      "loss": {"use_pallas": fused_loss}}})
+                      "loss": {"use_pallas": fused_loss}},
+            "trainer": {"scheduler_interval": "step",
+                        "warmup_step": 100}})
         trainer = Trainer(cfg, world_size=1, batch_size_per_device=B)
         state = trainer.init_state(jax.random.PRNGKey(0), example)
         # warmup: compile + one step; hard sync via host fetch
