@@ -68,24 +68,25 @@ def gather_fine_windows_direct(feat_f: jax.Array, cell_ids: jax.Array,
     wc = hw_c[1]
     rad = window // 2
 
-    cy = (cell_ids // wc) * stride  # [B, K] window-start y + rad
+    # Pad by the window radius so every window is fully in bounds (the
+    # zero padding reproduces the reference's zero taps at image borders,
+    # fine_preprocess.py F.unfold padding semantics), then gather ONE
+    # contiguous [W, W, C] block per window.  Block slices are ~W*C*2-byte
+    # contiguous segments - measured far faster on TPU than the previous
+    # 25 per-pixel row gathers (sub-cacheline scattered reads).
+    fp = jnp.pad(feat_f, ((0, 0), (rad, rad), (rad, rad), (0, 0)))
+    cy = (cell_ids // wc) * stride  # window start in padded coords
     cx = (cell_ids % wc) * stride
-    offs = jnp.arange(window) - rad
-    # [B, K, W] pixel rows/cols per tap
-    rows = cy[:, :, None] + offs[None, None, :]
-    cols = cx[:, :, None] + offs[None, None, :]
-    in_r = (rows >= 0) & (rows < hf)
-    in_c = (cols >= 0) & (cols < wf)
-    rows_c = jnp.clip(rows, 0, hf - 1)
-    cols_c = jnp.clip(cols, 0, wf - 1)
+    starts = jnp.stack([cy, cx], axis=-1)  # [B, K, 2]
 
-    # flat index [B, K, W, W] then gather from [B, Hf*Wf, C]
-    flat = rows_c[:, :, :, None] * wf + cols_c[:, :, None, :]
-    valid = in_r[:, :, :, None] & in_c[:, :, None, :]
-    feat_flat = feat_f.reshape(b, hf * wf, c)
-    gathered = jnp.take_along_axis(
-        feat_flat, flat.reshape(b, k * window * window)[:, :, None], axis=1)
-    gathered = gathered.reshape(b, k, window * window, c)
-    gathered = jnp.where(
-        valid.reshape(b, k, window * window, 1), gathered, 0.0)
-    return gathered
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+        start_index_map=(0, 1))
+
+    def one(fp_b, st_b):
+        return jax.lax.gather(
+            fp_b, st_b, dn, slice_sizes=(window, window, c),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+    gathered = jax.vmap(one)(fp, starts)  # [B, K, W, W, C]
+    return gathered.reshape(b, k, window * window, c)
