@@ -147,9 +147,18 @@ def _fused_dual_softmax_core(feat0: jax.Array, feat1: jax.Array,
     L, C = feat0.shape
     S = feat1.shape[0]
     # sim = f0.f1/(C*T), applied to the f32 dot in-kernel (better numerics
-    # than pre-scaling bf16 operands, and no scaled HBM copies of the feats)
+    # than pre-scaling bf16 operands, and no scaled [L, C] copies of the feats)
     sim_scale = 1.0 / (C * float(temperature))
     f0, f1 = feat0, feat1
+
+    # VMEM budget: f1 stays resident ([Sp, C] bf16) and each row tile holds
+    # ~3 f32 [tile_l, Sp] temporaries (sim + exp copies).  At large S the
+    # default tile blows the 16 MB scoped limit (observed: 17.3 MB at
+    # S=11136, the 840x840 MegaDepth shape) - shrink the row tile to fit
+    # ~10 MB of temporaries.
+    Sp_est = (S + 127) // 128 * 128
+    while tile_l > 8 and 3 * tile_l * Sp_est * 4 > 10 * 2 ** 20:
+        tile_l //= 2
 
     Lp = (L + tile_l - 1) // tile_l * tile_l
     Sp = (S + 127) // 128 * 128

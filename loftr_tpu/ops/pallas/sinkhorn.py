@@ -185,6 +185,13 @@ def fused_sinkhorn_match(feat0: jax.Array, feat1: jax.Array,
     f0, f1 = feat0, feat1
     alpha = jnp.asarray(bin_score, f32)
 
+    # shrink the row tile at large S so the ~3 f32 [tile_l, Sp] in-kernel
+    # temporaries fit the 16 MB scoped-VMEM limit (same issue as
+    # dual_softmax.py; observed at the 840x840 MegaDepth shape, S=11136)
+    Sp_est = (S + 127) // 128 * 128
+    while tile_l > 8 and 3 * tile_l * Sp_est * 4 > 10 * 2 ** 20:
+        tile_l //= 2
+
     Lp = (L + tile_l - 1) // tile_l * tile_l
     Sp = (S + 127) // 128 * 128
     f0 = _pad_to(f0, Lp, 0)

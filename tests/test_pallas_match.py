@@ -198,3 +198,31 @@ def test_matcher_ot_prefilter_uses_pallas_path():
     np.testing.assert_allclose(np.asarray(out_pallas.mkpts0_f)[keep],
                                np.asarray(out_xla.mkpts0_f)[keep],
                                atol=1e-4)
+
+
+def test_fused_matches_oracle_large_s_tile_shrink():
+    """At large S the kernel shrinks its row tile to fit scoped VMEM
+    (observed compile-OOM at the 840x840 shape, S=11136); the shrunken
+    tiling must stay exact vs the oracle."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from loftr_tpu.ops import matching as M
+
+    r = np.random.RandomState(0)
+    L, S, C = 64, 7200, 32  # S large enough to force tile_l < 128
+    f0 = jnp.asarray(r.randn(1, L, C) * 0.3, jnp.float32)
+    f1 = jnp.asarray(r.randn(1, S, C) * 0.3, jnp.float32)
+    hw0, hw1 = (8, 8), (72, 100)
+    want = M.mutual_nearest_candidates(
+        M.dual_softmax_conf(f0, f1, 0.1), 0.01, 0, hw0, hw1)
+    got = M.pallas_mutual_nearest_candidates(
+        f0, f1, 0.1, 0.01, 0, hw0, hw1, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.valid),
+                                  np.asarray(want.valid))
+    v = np.asarray(want.valid)
+    np.testing.assert_array_equal(np.asarray(got.j_ids)[v],
+                                  np.asarray(want.j_ids)[v])
+    np.testing.assert_allclose(np.asarray(got.mconf)[v],
+                               np.asarray(want.mconf)[v],
+                               rtol=1e-5, atol=1e-6)
