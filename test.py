@@ -44,6 +44,11 @@ def parse_args():
     p.add_argument("--num-workers", type=int, default=8)
     p.add_argument("--img-resize", type=int, default=840)
     p.add_argument("--max-matches", type=int, default=2048)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="compute dtype: float32 = parity eval (XLA oracle "
+                        "paths on TPU); bfloat16 = deployment speed (fused "
+                        "Pallas kernels)")
     p.add_argument("--config-json", default=None,
                    help="JSON dict of nested config overrides")
     p.add_argument("--dump", default=None, help="npz dump path for per-pair "
@@ -94,7 +99,8 @@ def main():
     from loftr_tpu import MatchInput, get_config
     from loftr_tpu.eval.evaluator import Evaluator
 
-    overrides = {"loftr": {"match_coarse":
+    overrides = {"loftr": {"dtype": args.dtype,
+                           "match_coarse":
                            {"max_matches": args.max_matches}}}
     if args.thr is not None:
         overrides["loftr"]["match_coarse"]["thr"] = args.thr

@@ -194,6 +194,7 @@ def test_full_model_seq_sharded_matches_unsharded():
                                rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.heavy  # ~110 s: two full train-grad compiles
 def test_train_step_seq_sharded_grads_match():
     """Training with the coarse stage token-sharded: loss and gradients
     match the unsharded run (seq parallelism is usable for training, not
