@@ -75,7 +75,17 @@ def _phi(x):
     return jnp.where(x > 0, x + 1.0, jnp.exp(x))
 
 
-def _attention(q, k, v, G, W2, nheads, eps, mode, dt):
+def _head_rowmask(W2, nheads, C, dt):
+    """[nheads*W2, C] block mask: row h*W2+j keeps only head h's channels.
+    Constant per kernel - computed once and reused by all 4 attention
+    calls (it is pure VPU iota/compare work)."""
+    d = C // nheads
+    srow = jax.lax.broadcasted_iota(jnp.int32, (nheads * W2, C), 0) // W2
+    scol = jax.lax.broadcasted_iota(jnp.int32, (nheads * W2, C), 1) // d
+    return (srow == scol).astype(dt)
+
+
+def _attention(q, k, v, G, W2, nheads, eps, mode, dt, rowmask=None):
     """Score-form linear attention per window.
 
     q/k/v: [G*W2, C] in compute dtype.  Returns [G*W2, C] f32.
@@ -108,9 +118,8 @@ def _attention(q, k, v, G, W2, nheads, eps, mode, dt):
     # mode == 'stack': head-masked row-stacked K/V -> full-C contraction
     # depth (no 8x MXU K-padding waste), one matmul issue per window block.
     # kst[g, h*W2+j, c] = K[g, j, c] * (c // d == h)
-    srow = jax.lax.broadcasted_iota(jnp.int32, (nheads * W2, C), 0) // W2
-    scol = jax.lax.broadcasted_iota(jnp.int32, (nheads * W2, C), 1) // d
-    rowmask = (srow == scol).astype(dt)                  # [H*W2, C]
+    if rowmask is None:
+        rowmask = _head_rowmask(W2, nheads, C, dt)       # [H*W2, C]
     kst = jnp.tile(K.reshape(G, W2, C), (1, nheads, 1)) * rowmask
     s = jax.lax.dot_general(
         Q.reshape(G, W2, C).astype(dt), kst,
@@ -132,13 +141,15 @@ def _attention(q, k, v, G, W2, nheads, eps, mode, dt):
     return (o.reshape(G * W2, C) * zfull)
 
 
-def _encoder(x, src, w: EncoderWeights, G, W2, nheads, eps, mode, dt):
+def _encoder(x, src, w: EncoderWeights, G, W2, nheads, eps, mode, dt,
+             rowmask=None):
     """One LoFTREncoderLayer (transformer.py:48-90), rows = [G*W2, C]."""
     f32 = jnp.float32
     q = jnp.dot(x, w.q, preferred_element_type=f32).astype(dt)
     k = jnp.dot(src, w.k, preferred_element_type=f32).astype(dt)
     v = jnp.dot(src, w.v, preferred_element_type=f32).astype(dt)
-    msg = _attention(q, k, v, G, W2, nheads, eps, mode, dt)   # [R, C] f32
+    msg = _attention(q, k, v, G, W2, nheads, eps, mode, dt,
+                     rowmask=rowmask)                          # [R, C] f32
     msg = jnp.dot(msg.astype(dt), w.merge, preferred_element_type=f32)
     msg = _layer_norm(msg, w.ln1_s, w.ln1_b).astype(dt)
     y = jnp.concatenate([x, msg], axis=1)                     # [R, 2C]
@@ -166,12 +177,18 @@ def _fine_stage_kernel(*refs, G, W2, nheads, eps, mode, nw):
     x0 = win0_ref[:].reshape(G * W2, C)
     x1 = win1_ref[:].reshape(G * W2, C)
 
+    rowmask = (_head_rowmask(W2, nheads, C, dt) if mode == "stack"
+               else None)
     enc = functools.partial(_encoder, G=G, W2=W2, nheads=nheads, eps=eps,
-                            mode=mode, dt=dt)
-    # 'self' layer on both, then 'cross' with the reference's SEQUENTIAL
+                            mode=mode, dt=dt, rowmask=rowmask)
+    # 'self' layer on both windows as ONE 2G-window batch (shared L0
+    # weights; windows are independent rows, so stacking doubles every
+    # matmul's row count), then 'cross' with the reference's SEQUENTIAL
     # update (transformer.py:96-97): x1 attends to the already-updated x0.
-    x0 = enc(x0, x0, w=L0)
-    x1 = enc(x1, x1, w=L0)
+    xs = jnp.concatenate([x0, x1], axis=0)                # [2R, C]
+    xs = _encoder(xs, xs, L0, 2 * G, W2, nheads, eps, mode, dt,
+                  rowmask=rowmask)
+    x0, x1 = xs[:G * W2], xs[G * W2:]
     x0 = enc(x0, x1, w=L1)
     x1 = enc(x1, x0, w=L1)
 
