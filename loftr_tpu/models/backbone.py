@@ -78,6 +78,30 @@ def conv3x3(features: int, name: str, dtype=None, bias: bool = False,
     return conv(features, 3, 1, name=name, dtype=dtype, bias=bias)
 
 
+
+def _upsample(x, train: bool):
+    """x2 align-corners upsample: Pallas NHWC-preserving kernel on the TPU
+    bf16 inference path (ops/pallas/upsample.py - avoids the NHCW dot-output
+    layouts that cost fused-relayout time around the downstream convs), XLA
+    matmul oracle everywhere else (training backward, fp32, CPU).
+
+    MEASURED RESULT: net negative, default OFF.  The kernel only fits the
+    VMEM budget up to ~1/4-res maps (its full input-H slab plus Mosaic
+    double buffering misses the 16 MB scoped limit by ~1 MB at 120x160),
+    and applying it at the 60x80 site alone benched 133.8 vs 137.9 pairs/s
+    - the NHCW<->NHWC boundary just moves next to the kernel instead of
+    disappearing.  Flip _USE_PALLAS_UPSAMPLE to experiment."""
+    if (_USE_PALLAS_UPSAMPLE and not train and x.dtype == jnp.bfloat16
+            and x.shape[1] * x.shape[2] <= 60 * 80
+            and jax.default_backend() == "tpu"):
+        from loftr_tpu.ops.pallas.upsample import upsample2x_pallas
+        return upsample2x_pallas(x)
+    return upsample2x_align_corners(x)
+
+
+_USE_PALLAS_UPSAMPLE = False
+
+
 class Norm(nn.Module):
     """BatchNorm (torch-default eps/momentum), GroupNorm-8, or 'none'.
 
@@ -214,11 +238,11 @@ class ResNetFPN_8_2(nn.Module):
 
         # FPN top-down (resnet_fpn.py:107-116)
         x3_out = conv(d[2], 1, name="layer3_outconv", dtype=self.dtype)(x3)
-        x3_up = upsample2x_align_corners(x3_out)
+        x3_up = _upsample(x3_out, train)
         x2_out = conv(d[2], 1, name="layer2_outconv", dtype=self.dtype)(x2)
         x2_out = FusionBlock(d[2], d[1], self.norm, self.dtype, self.winograd,
                              name="layer2_outconv2")(x2_out + x3_up, train)
-        x2_up = upsample2x_align_corners(x2_out)
+        x2_up = _upsample(x2_out, train)
         x1_out = conv(d[1], 1, name="layer1_outconv", dtype=self.dtype)(x1)
         x1_out = FusionBlock(d[1], d[0], self.norm, self.dtype, self.winograd,
                              name="layer1_outconv2")(x1_out + x2_up, train)
@@ -251,11 +275,11 @@ class ResNetFPN_16_4(nn.Module):
         x4 = BasicBlock(d[3], 1, self.norm, self.dtype, self.winograd, name="layer4_1")(x4, train)  # 1/16
 
         x4_out = conv(d[3], 1, name="layer4_outconv", dtype=self.dtype)(x4)
-        x4_up = upsample2x_align_corners(x4_out)
+        x4_up = _upsample(x4_out, train)
         x3_out = conv(d[3], 1, name="layer3_outconv", dtype=self.dtype)(x3)
         x3_out = FusionBlock(d[3], d[2], self.norm, self.dtype, self.winograd,
                              name="layer3_outconv2")(x3_out + x4_up, train)
-        x3_up = upsample2x_align_corners(x3_out)
+        x3_up = _upsample(x3_out, train)
         x2_out = conv(d[2], 1, name="layer2_outconv", dtype=self.dtype)(x2)
         x2_out = FusionBlock(d[2], d[1], self.norm, self.dtype, self.winograd,
                              name="layer2_outconv2")(x2_out + x3_up, train)

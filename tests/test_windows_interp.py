@@ -85,3 +85,18 @@ def test_gather_unfold_equals_direct():
                                               jnp.asarray(ids),
                                               (hc, wc), W, stride))
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_upsample_matches_matmul():
+    """ops/pallas/upsample.py (experimental, default-off) is exact vs the
+    matmul oracle across shapes incl. non-128-multiple channels."""
+    import jax.numpy as jnp
+    from loftr_tpu.ops.interpolate import upsample2x_matmul
+    from loftr_tpu.ops.pallas.upsample import upsample2x_pallas
+
+    r = np.random.RandomState(0)
+    for (b, h, w, c) in [(2, 8, 8, 128), (1, 12, 16, 256), (2, 6, 10, 196)]:
+        x = jnp.asarray(r.randn(b, h, w, c), jnp.float32)
+        want = np.asarray(upsample2x_matmul(x))
+        got = np.asarray(upsample2x_pallas(x, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
