@@ -82,15 +82,23 @@ class Evaluator:
             result.mkpts0_f, result.mkpts1_f, E, inp.K0, inp.K1)
 
     def evaluate_batches(self, batches: Iterable, rng: Optional[jax.Array] = None,
-                         dump_path: Optional[str] = None) -> Dict[str, float]:
+                         dump_path: Optional[str] = None,
+                         figure_sink=None, n_figure_pairs: int = 8,
+                         figure_conf_thr: float = 5e-4) -> Dict[str, float]:
         """batches: iterable of (MatchInput, meta-list).
 
         dump_path: optional .npz path for per-pair records (the reference's
         --dump_dir equivalent, lightning_loftr.py:211-228); render with
-        tools/visualize_dump.py."""
+        tools/visualize_dump.py.
+
+        figure_sink: optional callable(list_of_matplotlib_figures) invoked for
+        the first `n_figure_pairs` pairs — the reference's val match-figure
+        logging hook (lightning_loftr.py:194-198 -> plotting.py:112-133).
+        Figures are epi-error colored; ownership (closing) passes to the sink."""
         metrics = {"identifiers": [], "R_errs": [], "t_errs": [],
                    "epi_errs": [], "n_matches": []}
         dumps = [] if dump_path else None
+        figures_left = n_figure_pairs if figure_sink is not None else 0
         rng = jax.random.PRNGKey(0) if rng is None else rng
         pixel_thr = self.config.trainer.ransac_pixel_thr
         conf = self.config.trainer.ransac_conf
@@ -110,6 +118,15 @@ class Evaluator:
             T_0to1 = np.asarray(inp.T_0to1)
 
             B = valid.shape[0]
+            if figures_left > 0:
+                from loftr_tpu.utils.plotting import make_matching_figures
+                figs = make_matching_figures(
+                    result, inp, epi_errs=epi, conf_thr=figure_conf_thr)
+                figure_sink(figs[:figures_left])
+                for f in figs[figures_left:]:  # over-quota: close, don't leak
+                    import matplotlib.pyplot as plt
+                    plt.close(f)
+                figures_left -= min(figures_left, B)
             if self.pose_solver in ("jax", "jax5pt"):
                 rng, sub = jax.random.split(rng)
                 rngs = jax.random.split(sub, B)
@@ -184,10 +201,15 @@ class Evaluator:
     def evaluate_dataset(self, dataset, batch_size: int = 1,
                          num_workers: int = 4,
                          world_size: int = 1, rank: int = 0,
-                         dump_path: Optional[str] = None
+                         dump_path: Optional[str] = None,
+                         figure_sink=None, n_figure_pairs: int = 8,
+                         figure_conf_thr: float = 5e-4
                          ) -> Dict[str, float]:
         """Exact pair-index sharding across hosts (no duplicates)."""
         order = list(range(rank, len(dataset), world_size))
         loader = DataLoader(dataset, batch_size=batch_size, sampler=order,
                             num_workers=num_workers, drop_last=False)
-        return self.evaluate_batches(loader, dump_path=dump_path)
+        return self.evaluate_batches(loader, dump_path=dump_path,
+                                     figure_sink=figure_sink,
+                                     n_figure_pairs=n_figure_pairs,
+                                     figure_conf_thr=figure_conf_thr)

@@ -29,7 +29,8 @@ case "${1:-fast}" in
     ;;
   contract)
     python __graft_entry__.py
-    exec env XLA_FLAGS="--xla_force_host_platform_device_count=8" \
+    # Append (not overwrite) so caller-provided XLA debug/tuning flags survive.
+    exec env XLA_FLAGS="${XLA_FLAGS:-} --xla_force_host_platform_device_count=8" \
         JAX_PLATFORMS=cpu python __graft_entry__.py dryrun 8
     ;;
   *)

@@ -53,6 +53,10 @@ def parse_args():
                    help="JSON dict of nested config overrides")
     p.add_argument("--dump", default=None, help="npz dump path for per-pair "
                    "results (visualization / offline analysis)")
+    p.add_argument("--figures-dir", default=None,
+                   help="save epi-error-colored match figures (PNG) for the "
+                        "first --n-figures pairs")
+    p.add_argument("--n-figures", type=int, default=8)
     return p.parse_args()
 
 
@@ -126,7 +130,25 @@ def main():
     concat = ConcatDataset(datasets)
     loader = DataLoader(concat, args.batch_size,
                         num_workers=args.num_workers, drop_last=False)
-    agg = ev.evaluate_batches(loader, dump_path=args.dump)
+    figure_sink = None
+    if args.figures_dir:
+        os.makedirs(args.figures_dir, exist_ok=True)
+        counter = {"i": 0}
+
+        def figure_sink(figs):
+            import matplotlib.pyplot as plt
+            for fig in figs:
+                fig.savefig(os.path.join(
+                    args.figures_dir, f"pair_{counter['i']:04d}.png"),
+                    bbox_inches="tight")
+                plt.close(fig)
+                counter["i"] += 1
+
+    conf_thr = 1e-4 if args.dataset == "megadepth" else 5e-4
+    agg = ev.evaluate_batches(loader, dump_path=args.dump,
+                              figure_sink=figure_sink,
+                              n_figure_pairs=args.n_figures,
+                              figure_conf_thr=conf_thr)
     print(json.dumps(agg))
 
 

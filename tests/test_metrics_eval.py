@@ -163,3 +163,43 @@ def test_evaluator_perfect_matches(solver):
     # near-perfect matches -> tiny pose errors -> high AUC
     assert agg["auc@5"] > 0.8, agg
     assert agg["prec@5e-04"] > 0.9, agg
+
+
+def test_evaluator_figure_sink_fires():
+    """The val match-figure hook (reference lightning_loftr.py:194-198)
+    must fire: figure_sink receives matplotlib figures, capped at
+    n_figure_pairs."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from loftr_tpu.config import get_config
+    from loftr_tpu.structs import MatchInput
+
+    cfg = get_config("default")
+    ev = _PerfectMatcherEvaluator(cfg, "opencv")
+
+    K = np.array([[400.0, 0, 320], [0, 400.0, 240], [0, 0, 1]], np.float32)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, 3] = [1, 0, 0]
+    batches = []
+    for i in range(2):
+        inp = MatchInput(
+            image0=np.zeros((1, 64, 64, 1), np.float32),
+            image1=np.zeros((1, 64, 64, 1), np.float32),
+            T_0to1=T[None], T_1to0=np.linalg.inv(T)[None].astype(np.float32),
+            K0=K[None], K1=K[None])
+        batches.append((inp, [{"scene_id": "synth", "pair_id": i,
+                               "dataset_name": "synth",
+                               "pair_names": None}]))
+
+    received = []
+
+    def sink(figs):
+        received.extend(figs)
+        for f in figs:
+            plt.close(f)
+
+    ev.ev.evaluate_batches(batches, figure_sink=sink, n_figure_pairs=1)
+    assert len(received) == 1  # capped at n_figure_pairs, not n_batches
+    ev.ev.evaluate_batches(batches, figure_sink=sink, n_figure_pairs=8)
+    assert len(received) == 3  # 1 + both pairs this time

@@ -66,6 +66,14 @@ def parse_args():
                         "TensorBoard match-figure logging equivalent")
     p.add_argument("--val-pose-solver", default="jax",
                    choices=["jax", "opencv"])
+    p.add_argument("--val-figures", type=int, default=8,
+                   help="log match figures for the first N val pairs each "
+                        "val epoch (PNG under <ckpt-dir>/logs/figures, "
+                        "mirrored to TB with --tensorboard; 0 disables) - "
+                        "the reference's n_val_pairs_to_plot "
+                        "(lightning_loftr.py:194-198)")
+    p.add_argument("--val-figures-every", type=int, default=1,
+                   help="log val figures every N epochs")
     return p.parse_args()
 
 
@@ -227,13 +235,23 @@ def main():
                                           pose_solver=args.val_pose_solver)
                 else:
                     evaluator.variables = variables
+                # rank-0 match figures every N val epochs (reference:
+                # lightning_loftr.py:194-198 -> logger figure logging)
+                figure_sink = None
+                if (rank == 0 and args.val_figures > 0
+                        and epoch % max(1, args.val_figures_every) == 0):
+                    step_now = int(state.step)
+                    figure_sink = (lambda figs, _s=step_now:
+                                   logger.log_figures(_s, figs, prefix="val"))
                 metrics = evaluator.evaluate_dataset(
                     val_ds, batch_size=args.batch_size,
                     num_workers=args.num_workers,
                     world_size=world_size, rank=rank,
                     dump_path=(os.path.join(
                         args.ckpt_dir, "logs", f"val_dump_e{epoch}_r{rank}.npz")
-                        if args.val_dump else None))
+                        if args.val_dump else None),
+                    figure_sink=figure_sink,
+                    n_figure_pairs=args.val_figures)
                 logger.log(int(state.step), metrics, epoch=epoch,
                            phase="val")
             if rank == 0:
