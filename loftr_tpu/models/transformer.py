@@ -116,8 +116,13 @@ class LocalFeatureTransformer(nn.Module):
     fused_window_attn: bool = False  # see LoFTREncoderLayer
     fused_heads: bool = False        # see LoFTREncoderLayer
     # mesh axis name to shard the token (L/S) axis over, or None.  Requires
-    # an ambient mesh (jax.set_mesh) containing that axis; 'linear'
-    # attention only (full attention would need a ring exchange instead).
+    # an ambient mesh (jax.set_mesh) containing that axis.  Capability
+    # matrix: 'linear' attention shards with a single tiny psum of the
+    # global KV stats (parallel/seq_attention.py); 'full' attention keeps
+    # queries token-sharded and lets GSPMD all-gather K/V per layer (the
+    # [l_loc, S] score block stays device-local).  An explicit ring K/V
+    # exchange (never gathers full K/V) is available as
+    # parallel.seq_attention.ring_full_attention for shard_map callers.
     seq_axis: Optional[str] = None
 
     @nn.compact
@@ -128,8 +133,10 @@ class LocalFeatureTransformer(nn.Module):
         same_shape = feat0.shape == feat1.shape
         masks_same = (mask0 is None) == (mask1 is None)
         if self.seq_axis is not None:
-            assert self.attention == "linear", \
-                "seq sharding requires linear attention"
+            # both 'linear' and 'full' work under token sharding: linear's
+            # cross-token contraction psums tiny KV stats; full's softmax
+            # makes GSPMD all-gather K/V while the [l_loc, S] score block
+            # stays sharded on the query axis (see class docstring)
             feat0 = _seq_constrain(feat0, self.seq_axis)
             feat1 = _seq_constrain(feat1, self.seq_axis)
             mask0 = _seq_constrain(mask0, self.seq_axis)

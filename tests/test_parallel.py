@@ -38,6 +38,74 @@ def test_seq_parallel_linear_attention_matches_single_device():
     np.testing.assert_allclose(np.asarray(out), want, rtol=2e-4, atol=2e-4)
 
 
+def test_ring_full_attention_matches_single_device():
+    """Ring K/V exchange (SURVEY §5.7) == single-device softmax attention,
+    including masked rows and the fully-masked-row zero convention."""
+    from loftr_tpu.ops.attention import full_attention
+
+    devs = jax.devices()[:4]
+    mesh = Mesh(np.array(devs), ("seq",))
+    rng = np.random.RandomState(7)
+    B, L, H, D = 2, 64, 4, 8
+    q = rng.randn(B, L, H, D).astype(np.float32)
+    k = rng.randn(B, L, H, D).astype(np.float32)
+    v = rng.randn(B, L, H, D).astype(np.float32)
+    qm = (rng.rand(B, L) > 0.2).astype(np.float32)
+    km = (rng.rand(B, L) > 0.2).astype(np.float32)
+    km[1, :] = 0.0  # whole image masked: oracle zeroes those rows
+
+    want = np.asarray(full_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(qm), jnp.asarray(km)))
+
+    fn = make_sharded_attention(mesh, "seq", kind="full")
+    sh = NamedSharding(mesh, P(None, "seq", None, None))
+    shm = NamedSharding(mesh, P(None, "seq"))
+    out = fn(jax.device_put(q, sh), jax.device_put(k, sh),
+             jax.device_put(v, sh), jax.device_put(qm, shm),
+             jax.device_put(km, shm))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=2e-4, atol=2e-4)
+
+
+def test_full_model_seq_sharded_full_attention_matches_unsharded():
+    """attention='full' under seq_axis must not assert (round-3 gap): GSPMD
+    keeps queries token-sharded, gathers K/V, and results match the
+    unsharded run."""
+    from loftr_tpu import LoFTR, MatchInput, get_config
+    from loftr_tpu.parallel.mesh import make_seq_mesh
+
+    over = {"loftr": {
+        "backbone": {"initial_dim": 8, "block_dims": (8, 12, 16)},
+        "coarse": {"d_model": 16, "nhead": 2, "attention": "full",
+                   "layer_names": ("self", "cross")},
+        "fine": {"d_model": 8, "nhead": 2, "layer_names": ("self", "cross"),
+                 "use_pallas": False},
+        "match_coarse": {"max_matches": 16, "thr": 0.05,
+                         "use_pallas": False}}}
+    cfg = get_config("default").replaced(over)
+    rng = np.random.RandomState(11)
+    inp = MatchInput(
+        image0=jnp.asarray(rng.rand(2, 64, 64, 1), jnp.float32),
+        image1=jnp.asarray(rng.rand(2, 64, 64, 1), jnp.float32))
+    model = LoFTR(cfg.loftr)
+    variables = model.init(jax.random.PRNGKey(0), inp)
+    want = model.apply(variables, inp)
+
+    cfg_sp = cfg.replaced({"loftr": {"coarse": {"seq_axis": "seq"}}})
+    model_sp = LoFTR(cfg_sp.loftr)
+    mesh = make_seq_mesh(n_data=2, n_seq=4)
+    with jax.set_mesh(mesh):
+        sharded = shard_batch(mesh, inp)
+        got = jax.jit(lambda v, i: model_sp.apply(v, i))(variables, sharded)
+    np.testing.assert_array_equal(np.asarray(got.valid),
+                                  np.asarray(want.valid))
+    np.testing.assert_array_equal(np.asarray(got.coarse.i_ids),
+                                  np.asarray(want.coarse.i_ids))
+    np.testing.assert_allclose(np.asarray(got.mkpts1_f),
+                               np.asarray(want.mkpts1_f),
+                               rtol=1e-4, atol=1e-3)
+
+
 def test_data_parallel_matcher_agrees_with_single_device():
     """The full matcher under an 8-way data-sharded batch produces the same
     results as unsharded execution (GSPMD correctness check)."""
@@ -247,8 +315,22 @@ def test_train_step_seq_sharded_grads_match():
 
     model = LoFTR(cfg.loftr)
     variables = model.init(jax.random.PRNGKey(0), inp)
-    want_loss, want_grads = jax.value_and_grad(make_loss(model))(
+
+    # CONTROL (round-3 verdict weak #6): bound the expected wobble with a
+    # SINGLE-DEVICE chaos probe.  GSPMD's fusion/reduction-order changes
+    # perturb the forward by ~3e-5 (measured on conf_matrix); this control
+    # shifts the INPUT by 1e-5 — same scale, no sharding — and measures how
+    # far the backbone grads move.  The fine-loss path is measurably
+    # chaotic at this scale (soft-argmax windows; measured dev ~3e-2 from a
+    # 1e-5 shift, vs 4.5e-6 from pure attention-sum reorder), so the
+    # discriminator for a REAL sharding bug is the sharded deviation
+    # falling OUTSIDE this single-device envelope.
+    grad_fn = jax.jit(jax.value_and_grad(make_loss(model)))
+    want_loss, want_grads = grad_fn(
         variables["params"], variables["batch_stats"], inp)
+    inp_eps = inp.replace(image0=inp.image0 + np.float32(1e-5))
+    _, ctrl_grads = grad_fn(
+        variables["params"], variables["batch_stats"], inp_eps)
 
     cfg_sp = cfg.replaced({"loftr": {"coarse": {"seq_axis": "seq"}}})
     model_sp = LoFTR(cfg_sp.loftr)
@@ -265,13 +347,17 @@ def test_train_step_seq_sharded_grads_match():
     # that chaotically along the backbone path, so elementwise equality is
     # not attainable (or meaningful) there.  Assert tightly on the
     # transformer (where the sharding actually lives) and normwise +
-    # direction on the backbone.
+    # direction on the backbone; additionally bound the sharded deviation
+    # by the single-device reduction-order-control envelope.
     flat_w = jax.tree_util.tree_flatten_with_path(want_grads)[0]
     flat_g = jax.tree.leaves(got_grads)
-    for (path, w), g in zip(flat_w, flat_g):
+    flat_c = jax.tree.leaves(ctrl_grads)
+    bb_dev_sharded, bb_dev_ctrl, bb_norm = 0.0, 0.0, 0.0
+    for (path, w), g, c in zip(flat_w, flat_g, flat_c):
         name = jax.tree_util.keystr(path)
         w = np.asarray(w, np.float64).ravel()
         g = np.asarray(g, np.float64).ravel()
+        c = np.asarray(c, np.float64).ravel()
         nw = np.linalg.norm(w)
         if nw < 1e-12:
             assert np.linalg.norm(g) < 1e-9, name
@@ -281,6 +367,16 @@ def test_train_step_seq_sharded_grads_match():
         if "backbone" in name:
             assert rel < 8e-2, (name, rel)
             assert cos > 0.995, (name, cos)
+            bb_dev_sharded += np.sum((g - w) ** 2)
+            bb_dev_ctrl += np.sum((c - w) ** 2)
+            bb_norm += nw ** 2
         else:
             assert rel < 1e-2, (name, rel)
             assert cos > 0.9999, (name, cos)
+    bb_dev_sharded = np.sqrt(bb_dev_sharded / bb_norm)
+    bb_dev_ctrl = np.sqrt(bb_dev_ctrl / bb_norm)
+    # the single-device chaos envelope must itself be wide (otherwise the
+    # 8e-2 allowance above is hiding a bug), and the sharded deviation must
+    # sit inside ~2x of it (measured: ctrl ~3.0e-2, sharded ~1.9e-2)
+    assert bb_dev_ctrl > 1e-3, bb_dev_ctrl
+    assert bb_dev_sharded < 2 * bb_dev_ctrl, (bb_dev_sharded, bb_dev_ctrl)
