@@ -71,7 +71,8 @@ def test_preprocess_to_bucket_geometry():
 
 
 def test_service_matches_direct_call():
-    svc, variables, model = _service()
+    # float32 wire: the batching path must be EXACT vs a direct call
+    svc, variables, model = _service(wire_dtype="float32")
     rng = np.random.RandomState(3)
     img0 = rng.rand(64, 64).astype(np.float32)
     img1 = rng.rand(64, 64).astype(np.float32)
@@ -90,6 +91,28 @@ def test_service_matches_direct_call():
     np.testing.assert_allclose(
         res["mkpts1"], np.asarray(out.mkpts1_f)[0][valid], atol=1e-4)
     assert res["mconf"].shape == res["mkpts0"].shape[:1]
+
+
+def test_service_uint8_wire_matches_direct_call():
+    # default uint8 wire: for uint8 inputs (the camera case) the on-device
+    # /255 normalization must reproduce the direct float call exactly
+    svc, variables, model = _service()  # wire_dtype defaults to uint8
+    rng = np.random.RandomState(4)
+    img0 = rng.randint(0, 255, (64, 64), dtype=np.uint8)
+    img1 = rng.randint(0, 255, (64, 64), dtype=np.uint8)
+    with svc:
+        res = svc.match(img0, img1)
+    inp = MatchInput(
+        image0=jnp.asarray(img0, jnp.float32)[None, :, :, None] / 255.0,
+        image1=jnp.asarray(img1, jnp.float32)[None, :, :, None] / 255.0,
+        mask0=jnp.ones((1, 8, 8), bool), mask1=jnp.ones((1, 8, 8), bool),
+        scale0=jnp.ones((1, 2)), scale1=jnp.ones((1, 2)))
+    out = model.apply(variables, inp)
+    valid = np.asarray(out.valid)[0]
+    np.testing.assert_allclose(
+        res["mkpts0"], np.asarray(out.mkpts0_f)[0][valid], atol=1e-4)
+    np.testing.assert_allclose(
+        res["mkpts1"], np.asarray(out.mkpts1_f)[0][valid], atol=1e-4)
 
 
 def test_service_batches_and_pads():
