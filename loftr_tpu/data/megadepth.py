@@ -32,7 +32,8 @@ class MegaDepthDataset:
                  min_overlap_score: float = 0.4,
                  img_resize: Optional[int] = None, df: Optional[int] = None,
                  img_padding: bool = False, depth_padding: bool = False,
-                 augment_fn=None, coarse_scale: float = 0.125):
+                 augment_fn=None, coarse_scale: float = 0.125,
+                 depth_max_size: int = 2000):
         self.root_dir = root_dir
         self.mode = mode
         self.scene_id = osp.basename(npz_path).split(".")[0]
@@ -50,7 +51,9 @@ class MegaDepthDataset:
         self.img_resize = img_resize
         self.df = df
         self.img_padding = img_padding
-        self.depth_max_size = 2000 if depth_padding else None
+        # 2000 is the real-MegaDepth bound (megadepth.py:85-89); smaller
+        # synthetic scenes (data/synthetic.py) pass their own static size
+        self.depth_max_size = depth_max_size if depth_padding else None
         self.augment_fn = augment_fn if mode == "train" else None
         self.coarse_scale = coarse_scale
 

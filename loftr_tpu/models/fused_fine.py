@@ -71,6 +71,7 @@ class FusedFineStage(nn.Module):
     layer_names: Sequence[str] = ("self", "cross")
     mode: str = "stack"
     block_windows: int = 32
+    win_pack: int = 1  # see ops/pallas/fine_stage.py::_attention
 
     @nn.compact
     def __call__(self, win0: jax.Array, win1: jax.Array) -> jax.Array:
@@ -82,5 +83,5 @@ class FusedFineStage(nn.Module):
         expec = fused_fine_stage(
             win0.reshape(b * k, w2, c), win1.reshape(b * k, w2, c),
             l0, l1, nheads=self.nhead, mode=self.mode,
-            block_windows=self.block_windows)
+            block_windows=self.block_windows, win_pack=self.win_pack)
         return expec.reshape(b, k, 3)

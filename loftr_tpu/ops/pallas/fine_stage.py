@@ -85,10 +85,27 @@ def _head_rowmask(W2, nheads, C, dt):
     return (srow == scol).astype(dt)
 
 
-def _attention(q, k, v, G, W2, nheads, eps, mode, dt, rowmask=None):
+def _win_blockmask(P, W2, nheads):
+    """[P*W2, P*nheads*W2] f32 mask keeping only same-window score blocks
+    (constant per kernel)."""
+    rows = jax.lax.broadcasted_iota(
+        jnp.int32, (P * W2, P * nheads * W2), 0) // W2
+    cols = jax.lax.broadcasted_iota(
+        jnp.int32, (P * W2, P * nheads * W2), 1) // (nheads * W2)
+    return (rows == cols).astype(jnp.float32)
+
+
+def _attention(q, k, v, G, W2, nheads, eps, mode, dt, rowmask=None,
+               win_pack=1):
     """Score-form linear attention per window.
 
     q/k/v: [G*W2, C] in compute dtype.  Returns [G*W2, C] f32.
+
+    win_pack (stack mode): pack P windows into each matmul's M/N dims with
+    a block-diagonal mask.  The per-window batched dots otherwise issue G
+    tiny [W2, H*W2]-output matmuls per call, which is MXU-issue-bound at
+    W2=25; packing trades P x redundant FLOPs (masked away) for P x fewer,
+    larger issues.
     """
     C = q.shape[-1]
     d = C // nheads
@@ -121,6 +138,28 @@ def _attention(q, k, v, G, W2, nheads, eps, mode, dt, rowmask=None):
     if rowmask is None:
         rowmask = _head_rowmask(W2, nheads, C, dt)       # [H*W2, C]
     kst = jnp.tile(K.reshape(G, W2, C), (1, nheads, 1)) * rowmask
+    vst = jnp.tile(v.reshape(G, W2, C), (1, nheads, 1)) * rowmask
+    P = win_pack if win_pack > 1 and G % win_pack == 0 else 1
+    HW = nheads * W2
+    if P > 1:
+        GB = G // P
+        s = jax.lax.dot_general(
+            Q.reshape(GB, P * W2, C).astype(dt),
+            kst.reshape(GB, P * HW, C),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=f32)                  # [GB, P*W2, P*HW]
+        # kill cross-window blocks; downstream sums then see own-window
+        # scores only, so pooling/apply can contract the full P*HW axis
+        s = s * _win_blockmask(P, W2, nheads)
+        z = jnp.dot(s.reshape(G * W2, P * HW).astype(dt),
+                    jnp.tile(rowmask, (P, 1)),
+                    preferred_element_type=f32)          # [G*W2, C]
+        zfull = 1.0 / (z + eps)
+        o = jax.lax.dot_general(
+            s.astype(dt), vst.reshape(GB, P * HW, C),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32)                  # [GB, P*W2, C]
+        return (o.reshape(G * W2, C) * zfull)
     s = jax.lax.dot_general(
         Q.reshape(G, W2, C).astype(dt), kst,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
@@ -133,7 +172,6 @@ def _attention(q, k, v, G, W2, nheads, eps, mode, dt, rowmask=None):
                 rowmask, preferred_element_type=f32)     # [G*W2, C]
     zfull = 1.0 / (z + eps)
     # vst[g, h*W2+j, c] = V[g, j, c] * (c // d == h)
-    vst = jnp.tile(v.reshape(G, W2, C), (1, nheads, 1)) * rowmask
     o = jax.lax.dot_general(
         s.astype(dt), vst,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -142,14 +180,14 @@ def _attention(q, k, v, G, W2, nheads, eps, mode, dt, rowmask=None):
 
 
 def _encoder(x, src, w: EncoderWeights, G, W2, nheads, eps, mode, dt,
-             rowmask=None):
+             rowmask=None, win_pack=1):
     """One LoFTREncoderLayer (transformer.py:48-90), rows = [G*W2, C]."""
     f32 = jnp.float32
     q = jnp.dot(x, w.q, preferred_element_type=f32).astype(dt)
     k = jnp.dot(src, w.k, preferred_element_type=f32).astype(dt)
     v = jnp.dot(src, w.v, preferred_element_type=f32).astype(dt)
     msg = _attention(q, k, v, G, W2, nheads, eps, mode, dt,
-                     rowmask=rowmask)                          # [R, C] f32
+                     rowmask=rowmask, win_pack=win_pack)       # [R, C] f32
     msg = jnp.dot(msg.astype(dt), w.merge, preferred_element_type=f32)
     msg = _layer_norm(msg, w.ln1_s, w.ln1_b).astype(dt)
     y = jnp.concatenate([x, msg], axis=1)                     # [R, 2C]
@@ -160,7 +198,7 @@ def _encoder(x, src, w: EncoderWeights, G, W2, nheads, eps, mode, dt,
     return x + y
 
 
-def _fine_stage_kernel(*refs, G, W2, nheads, eps, mode, nw):
+def _fine_stage_kernel(*refs, G, W2, nheads, eps, mode, nw, win_pack=1):
     """refs: win0, win1, <2*nw weight refs>, out."""
     win0_ref, win1_ref = refs[0], refs[1]
     out_ref = refs[-1]
@@ -180,14 +218,15 @@ def _fine_stage_kernel(*refs, G, W2, nheads, eps, mode, nw):
     rowmask = (_head_rowmask(W2, nheads, C, dt) if mode == "stack"
                else None)
     enc = functools.partial(_encoder, G=G, W2=W2, nheads=nheads, eps=eps,
-                            mode=mode, dt=dt, rowmask=rowmask)
+                            mode=mode, dt=dt, rowmask=rowmask,
+                            win_pack=win_pack)
     # 'self' layer on both windows as ONE 2G-window batch (shared L0
     # weights; windows are independent rows, so stacking doubles every
     # matmul's row count), then 'cross' with the reference's SEQUENTIAL
     # update (transformer.py:96-97): x1 attends to the already-updated x0.
     xs = jnp.concatenate([x0, x1], axis=0)                # [2R, C]
     xs = _encoder(xs, xs, L0, 2 * G, W2, nheads, eps, mode, dt,
-                  rowmask=rowmask)
+                  rowmask=rowmask, win_pack=win_pack)
     x0, x1 = xs[:G * W2], xs[G * W2:]
     x0 = enc(x0, x1, w=L1)
     x1 = enc(x1, x0, w=L1)
@@ -224,6 +263,7 @@ def fused_fine_stage(win0: jax.Array, win1: jax.Array,
                      layer0: EncoderWeights, layer1: EncoderWeights,
                      nheads: int, eps: float = 1e-6,
                      block_windows: int = 32, mode: str = "stack",
+                     win_pack: int = 1,
                      interpret: bool = False) -> jax.Array:
     """Fine transformer (self + sequential cross) + soft-argmax, fused.
 
@@ -259,7 +299,7 @@ def fused_fine_stage(win0: jax.Array, win1: jax.Array,
     OUTC = 128
     out = pl.pallas_call(
         functools.partial(_fine_stage_kernel, G=G, W2=W2, nheads=nheads,
-                          eps=eps, mode=mode, nw=nw),
+                          eps=eps, mode=mode, nw=nw, win_pack=win_pack),
         grid=(NB // G,),
         in_specs=[win_spec, win_spec] + wspecs,
         out_specs=pl.BlockSpec((G, OUTC), lambda i: (i, 0),

@@ -49,15 +49,17 @@ def test_param_tree_matches_xla_path():
     assert paths_xla == paths_fused
 
 
-@pytest.mark.parametrize("mode", ["stack", "bdot"])
-def test_fused_matches_xla(mode):
+@pytest.mark.parametrize("mode,win_pack", [
+    ("stack", 1), ("bdot", 1), ("stack", 2), ("stack", 4)])
+def test_fused_matches_xla(mode, win_pack):
     win0, win1 = _random_inputs()
     tr = LocalFeatureTransformer(C, H, ("self", "cross"), "linear")
     v = tr.init(jax.random.PRNGKey(1),
                 win0.reshape(B * K, W2, C), win1.reshape(B * K, W2, C))
     want = _xla_reference(v, win0, win1)
 
-    fused = FusedFineStage(C, H, mode=mode, block_windows=4)
+    fused = FusedFineStage(C, H, mode=mode, block_windows=4,
+                           win_pack=win_pack)
     got = fused.apply(v, win0, win1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-4, rtol=2e-4)
