@@ -145,7 +145,12 @@ def make_trajectory(rng: np.random.RandomState, n_views: int,
     c = np.zeros(3)
     for i in range(n_views):
         if i:
-            step = rng.randn(3) * [baseline, baseline * 0.6, baseline * 0.25]
+            step = rng.randn(3) * [1.0, 0.6, 0.25]
+            # fixed magnitude in [0.75b, 1.25b]: a randn-magnitude step can
+            # land near zero, making the translation-direction metric
+            # (relative_pose_error) pure noise for that pair
+            step *= (baseline * (0.75 + 0.5 * rng.rand())
+                     / (np.linalg.norm(step) + 1e-9))
             c = c + step
         aa = rng.randn(3) * np.deg2rad(rot_deg) / np.sqrt(3)
         R = _rot(aa, float(np.linalg.norm(aa) + 1e-12))
