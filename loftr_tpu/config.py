@@ -98,6 +98,10 @@ class MatchCoarseConfig:
     max_matches: int = 1024           # inference top-K capacity per pair
     train_matches: int = 0            # train capacity; 0 => derive from
     #                                   train_coarse_percent * L at trace time
+    train_sampling: str = "per_pair"  # ['per_pair', 'global_replacement']
+    #                                   predicted-slot sampling semantics
+    #                                   (ops/matching.py::select_train_matches;
+    #                                   A/B'd in tools/sampling_ab.py)
     use_pallas: bool = True           # fused Pallas matcher (inference only;
     #                                   skips materializing conf_matrix).
     #                                   Default ON: this is the shipped

@@ -165,7 +165,7 @@ class LoFTR(nn.Module):
                     inp.mask0, inp.mask1, mc.train_coarse_percent)
             matches = M.select_train_matches(
                 cand, gt_j, gt_valid, rng, k_train, mc.train_pad_num_gt_min,
-                budget=budget)
+                budget=budget, sampling=mc.train_sampling)
         else:
             matches = M.topk_matches(cand, min(mc.max_matches, L))
 

@@ -187,7 +187,8 @@ def select_train_matches(cand: CandidateMatches,
                          gt_j: jax.Array, gt_valid: jax.Array,
                          rng: jax.Array, k_train: int,
                          pad_num_gt_min: int,
-                         budget: Optional[jax.Array] = None) -> CoarseMatches:
+                         budget: Optional[jax.Array] = None,
+                         sampling: str = "per_pair") -> CoarseMatches:
     """Training-time selection with GT padding (coarse_matching.py:198-236).
 
     Keeps at most ``k_train - pad_num_gt_min`` random predicted matches and
@@ -204,6 +205,16 @@ def select_train_matches(cand: CandidateMatches,
     (:func:`mask_match_budget`, reference coarse_matching.py:200-204).
     Slots beyond the budget get mask=False so losses ignore them; the
     array capacity stays the static ``k_train``.
+
+    sampling: 'per_pair' (default) draws each pair's predicted slots
+    WITHOUT replacement from that pair's candidates.  The reference instead
+    samples the BATCH-GLOBAL flat candidate list WITH replacement
+    (coarse_matching.py:214-217: randint over the concatenated (b,i,j)
+    list), so candidate-rich pairs get proportionally more slots and
+    duplicates occur.  'global_replacement' emulates that within the
+    static [B, k_train] layout: per-pair quotas proportional to the pair's
+    share of the batch candidate pool, picks drawn with replacement.
+    A/B'd on the synthetic benchmark (tools/sampling_ab.py, NOTES.md).
     """
     B, L = cand.valid.shape
     k_pred_max = k_train - pad_num_gt_min
@@ -219,16 +230,43 @@ def select_train_matches(cand: CandidateMatches,
         eff = jnp.clip(budget, pad_num_gt_min + 1, k_train)[:, None]
         eff_pred = eff - pad_num_gt_min
 
-    # --- predicted slots: random priority over valid candidates ---
-    pri = jax.random.uniform(rng_pred, (B, L), minval=0.1, maxval=1.0)
-    pri = jnp.where(cand.valid, pri, -1.0)
-    _, pred_order = jax.lax.top_k(pri, k_train)        # [B, k_train]
-    pred_i = pred_order.astype(jnp.int32)
-    pred_j = jnp.take_along_axis(cand.j_ids, pred_order, axis=1)
-    pred_conf = jnp.take_along_axis(cand.mconf, pred_order, axis=1)
-    pred_valid = jnp.take_along_axis(cand.valid, pred_order, axis=1)
-    # cap the number of predicted slots so >= pad_num_gt_min GT slots remain
-    pred_take = pred_valid & (slot < eff_pred)
+    if sampling == "global_replacement":
+        rng_quota, rng_pick = jax.random.split(rng_pred)
+        n_cand = jnp.sum(cand.valid, axis=1)                   # [B]
+        total = jnp.maximum(jnp.sum(n_cand), 1)
+        # quota ~ Binomial(B*k_pred_max, share) via a stochastic rounding
+        # of the expectation (cheap; matches the reference's multinomial
+        # slot allocation in expectation and in per-pair variance class)
+        expect = (B * k_pred_max) * n_cand / total
+        u_q = jax.random.uniform(rng_quota, (B,))
+        quota = jnp.floor(expect + u_q).astype(jnp.int32)
+        eff_pred = jnp.minimum(quota[:, None], eff_pred)
+        # compact valid candidates to the front in random order, then draw
+        # WITH replacement from the valid prefix
+        cpri = jax.random.uniform(rng_pred, (B, L), minval=0.1, maxval=1.0)
+        cpri = jnp.where(cand.valid, cpri, -1.0)
+        _, corder = jax.lax.top_k(cpri, L)                     # valid-first
+        u = jax.random.uniform(rng_pick, (B, k_train))
+        pick = jnp.floor(u * jnp.maximum(n_cand, 1)[:, None]).astype(
+            jnp.int32)
+        pick = jnp.clip(pick, 0, L - 1)
+        pred_order = jnp.take_along_axis(corder, pick, axis=1)
+        pred_i = pred_order.astype(jnp.int32)
+        pred_j = jnp.take_along_axis(cand.j_ids, pred_order, axis=1)
+        pred_conf = jnp.take_along_axis(cand.mconf, pred_order, axis=1)
+        pred_take = (n_cand[:, None] > 0) & (slot < eff_pred)
+    else:
+        # --- predicted slots: random priority over valid candidates ---
+        pri = jax.random.uniform(rng_pred, (B, L), minval=0.1, maxval=1.0)
+        pri = jnp.where(cand.valid, pri, -1.0)
+        _, pred_order = jax.lax.top_k(pri, k_train)        # [B, k_train]
+        pred_i = pred_order.astype(jnp.int32)
+        pred_j = jnp.take_along_axis(cand.j_ids, pred_order, axis=1)
+        pred_conf = jnp.take_along_axis(cand.mconf, pred_order, axis=1)
+        pred_valid = jnp.take_along_axis(cand.valid, pred_order, axis=1)
+        # cap the number of predicted slots so >= pad_num_gt_min GT slots
+        # remain
+        pred_take = pred_valid & (slot < eff_pred)
 
     # --- GT pool: compact valid GT rows to the front in random order ---
     gpri = jax.random.uniform(rng_gt_sel, (B, L), minval=0.1, maxval=1.0)

@@ -119,6 +119,46 @@ def test_select_train_matches_static_capacity():
     assert (~gt_mask).sum() == 5
 
 
+def test_select_train_matches_global_replacement():
+    """'global_replacement' emulates the reference's batch-global
+    with-replacement draw (coarse_matching.py:214-217): candidate-rich
+    pairs get proportionally more predicted slots, duplicates may occur,
+    and every predicted slot still maps to a real candidate."""
+    h = w = 6
+    L = h * w
+    # pair 0: 12 candidates; pair 1: 2 candidates
+    pairs0 = [(0, i, i, 0.5) for i in range(2, 14)]
+    pairs1 = [(1, i, i, 0.5) for i in range(20, 22)]
+    conf = _planted_conf(2, h, w, h, w, pairs0 + pairs1)
+    cand = mutual_nearest_candidates(jnp.asarray(conf), 0.2, 0,
+                                     (h, w), (h, w))
+    gt_j = np.zeros((2, L), np.int32)
+    gt_valid = np.zeros((2, L), bool)
+    for b in range(2):
+        for i in range(25, 32):
+            gt_j[b, i] = i + 1
+            gt_valid[b, i] = True
+    k_train, pad_min = 10, 2
+    n_pred = np.zeros(2)
+    reps = 30
+    for s in range(reps):
+        m = select_train_matches(
+            cand, jnp.asarray(gt_j), jnp.asarray(gt_valid),
+            jax.random.PRNGKey(s), k_train, pad_min,
+            sampling="global_replacement")
+        gm = np.asarray(m.gt_mask)
+        pred = np.asarray(m.mask) & ~gm
+        n_pred += pred.sum(axis=1)
+        # predicted slots must reference planted candidates (i == j here)
+        i_ids, j_ids = np.asarray(m.i_ids), np.asarray(m.j_ids)
+        assert (j_ids[pred] == i_ids[pred]).all()
+        assert (np.asarray(m.mconf)[pred] > 0).all()
+        assert gm.sum(axis=1).min() >= pad_min
+    # proportional allocation: pair 0 has 6x the candidates of pair 1
+    ratio = n_pred[0] / max(n_pred[1], 1)
+    assert 3.0 < ratio < 12.0, (n_pred, ratio)
+
+
 def test_select_train_matches_mask_budget():
     """Mask-aware train capacity (reference coarse_matching.py:46-56,
     200-204): with padding masks, the per-pair budget is

@@ -1,15 +1,22 @@
 #!/usr/bin/env python
-"""Training-step benchmark: pairs/s + step time for the full jitted train
-step (supervision -> forward -> loss -> grad -> clip -> update) on the real
-chip.
+"""Training-step benchmark: pairs/s, step time, and train-MFU for the full
+jitted train step (supervision -> forward -> loss -> grad -> clip -> update)
+on the real chip.
 
 Fills the BASELINE.md gap "train-step pairs/s / step-time / MFU" (the
 reference publishes only cluster sizes, docs/TRAINING.md:60: 32-64 GPUs for
-ScanNet 640x480).  Sweeps the fused Pallas focal-loss path on/off
-(config.loss.use_pallas, ops/pallas/focal_loss.py).
+ScanNet 640x480).  Round-4 (verdict item #4): batch sweep to the HBM
+ceiling, gradient-accumulation sweep, fp32-vs-bf16, fused-focal on/off, and
+an MFU figure against the 3x-forward analytic roofline (759 GFLOP/pair fwd
+-> 2.28 TFLOP/pair train, docs/PERFORMANCE.md).
 
-Usage:  python tools/train_bench.py [--batch 4] [--iters 12] [--res 640x480]
-Writes one JSON line per variant; also saved to perf/train_bench.json.
+Methodology: `--n-inner` chained train steps are unrolled inside ONE jitted
+program (the relay's 15-150 ms per-dispatch latency does not pipeline;
+cf. bench.py).  Within the program, step k+1 consumes step k's state, so
+peak HBM is a single step's working set.
+
+Usage:  python tools/train_bench.py            # full sweep -> perf/train_bench.json
+        python tools/train_bench.py --quick    # one config
 """
 from __future__ import annotations
 
@@ -21,78 +28,146 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+FWD_GFLOP_PER_PAIR = 759.0     # analytic, tools/flops_analysis.py
+TRAIN_FLOP_FACTOR = 3.0        # fwd + ~2x fwd for backward
+V5E_PEAK_TFLOPS = 197.0
 
-def main():
-    p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--batch", type=int, default=4)
-    p.add_argument("--iters", type=int, default=12)
-    p.add_argument("--res", default="640x480")
-    p.add_argument("--dtype", default="bfloat16")
-    p.add_argument("--out", default=os.path.join(
-        os.path.dirname(__file__), "..", "perf", "train_bench.json"))
-    args = p.parse_args()
 
-    from loftr_tpu.utils.platform import honor_platform_env
-    honor_platform_env()
+def make_batch(B, W, H, seed=0):
     import numpy as np
-    import jax
     import jax.numpy as jnp
-    from loftr_tpu import MatchInput, get_config
-    from loftr_tpu.train.trainer import Trainer
-
-    W, H = (int(t) for t in args.res.split("x"))
-    B = args.batch
-    rng = np.random.RandomState(0)
+    from loftr_tpu import MatchInput
+    rng = np.random.RandomState(seed)
     K = np.array([[[500.0, 0, W / 2], [0, 500.0, H / 2], [0, 0, 1]]] * B,
                  np.float32)
     T = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
-    batch = MatchInput(
+    return MatchInput(
         image0=jnp.asarray(rng.rand(B, H, W, 1), jnp.float32),
         image1=jnp.asarray(rng.rand(B, H, W, 1), jnp.float32),
         depth0=jnp.asarray(rng.rand(B, H, W) * 2 + 1, jnp.float32),
         depth1=jnp.asarray(rng.rand(B, H, W) * 2 + 1, jnp.float32),
         T_0to1=jnp.asarray(T), T_1to0=jnp.asarray(T),
         K0=jnp.asarray(K), K1=jnp.asarray(K))
+
+
+def bench_config(name, B, W, H, dtype, fused_loss, accum, n_inner, iters):
+    import numpy as np
+    import jax
+    from loftr_tpu import get_config
+    from loftr_tpu.train.trainer import Trainer
+
+    cfg = get_config("indoor_ds", {
+        "loftr": {"dtype": dtype, "loss": {"use_pallas": fused_loss}},
+        "trainer": {"scheduler_interval": "step", "warmup_step": 100,
+                    "accum_steps": accum}})
+    trainer = Trainer(cfg, world_size=1, batch_size_per_device=B)
+    batch = make_batch(B, W, H)
     example = jax.tree.map(lambda x: x[:1], batch)
 
-    results = []
-    for fused_loss in (False, True):
-        cfg = get_config("indoor_ds", {
-            "loftr": {"dtype": args.dtype,
-                      "loss": {"use_pallas": fused_loss}},
-            "trainer": {"scheduler_interval": "step",
-                        "warmup_step": 100}})
-        trainer = Trainer(cfg, world_size=1, batch_size_per_device=B)
-        state = trainer.init_state(jax.random.PRNGKey(0), example)
-        # warmup: compile + one step; hard sync via host fetch
-        state, scalars = trainer.train_step(state, batch)
-        _ = float(scalars["loss"])
+    @jax.jit
+    def stepn(state, b):
+        sc = None
+        for _ in range(n_inner):
+            state, sc = trainer._train_step(state, b)
+        return state, sc
 
-        t_done = []
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            state, scalars = trainer.train_step(state, batch)
-            _ = float(scalars["loss"])  # host fetch = hard sync
-            t_done.append(time.perf_counter())
-        deltas = np.diff([t0] + t_done)
-        dt = float(np.median(deltas))
-        rec = {
-            "metric": f"train_step_{W}x{H}_pairs_per_s",
-            "fused_focal_loss": fused_loss,
-            "batch": B,
-            "step_ms": round(dt * 1e3, 2),
-            "pairs_per_s": round(B / dt, 2),
-            "p10_pairs_per_s": round(B / float(np.percentile(deltas, 90)), 2),
-            "loss_finite": bool(np.isfinite(float(scalars["loss"]))),
-        }
-        results.append(rec)
-        print(json.dumps(rec), flush=True)
+    state = trainer.init_state(jax.random.PRNGKey(0), example)
+    state, scalars = stepn(state, batch)     # compile + warm
+    _ = float(scalars["loss"])               # hard sync (host fetch)
+
+    t_done = []
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, scalars = stepn(state, batch)
+        _ = float(scalars["loss"])
+        t_done.append(time.perf_counter())
+    deltas = np.diff([t0] + t_done) / n_inner
+    dt = float(np.median(deltas))
+    pairs_per_s = B / dt
+    mfu = (pairs_per_s * FWD_GFLOP_PER_PAIR * TRAIN_FLOP_FACTOR / 1e3
+           / V5E_PEAK_TFLOPS)
+    rec = {
+        "config": name,
+        "batch": B, "dtype": dtype, "fused_focal_loss": fused_loss,
+        "accum_steps": accum, "n_inner": n_inner,
+        "step_ms": round(dt * 1e3, 2),
+        "pairs_per_s": round(pairs_per_s, 2),
+        "p10_pairs_per_s": round(B / float(np.percentile(deltas, 90)), 2),
+        "train_mfu": round(mfu, 3),
+        "loss_finite": bool(np.isfinite(float(scalars["loss"]))),
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--res", default="640x480")
+    p.add_argument("--n-inner", type=int, default=2)
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--batches", type=int, nargs="+", default=[4, 8, 16, 24],
+                   help="bf16 batch sweep (stops at the first OOM)")
+    p.add_argument("--out", default=os.path.join(
+        os.path.dirname(__file__), "..", "perf", "train_bench.json"))
+    args = p.parse_args()
+
+    from loftr_tpu.utils.platform import honor_platform_env
+    honor_platform_env()
+
+    W, H = (int(t) for t in args.res.split("x"))
+    results = []
+
+    def run(name, **kw):
+        try:
+            results.append(bench_config(
+                name, W=W, H=H, n_inner=args.n_inner, iters=args.iters,
+                **kw))
+            return True
+        except Exception as e:
+            msg = str(e).splitlines()[0][:160]
+            results.append({"config": name, "error": msg, **kw})
+            print(json.dumps(results[-1]), flush=True)
+            return False
+
+    if args.quick:
+        run("bf16_b4", B=4, dtype="bfloat16", fused_loss=False, accum=1)
+    else:
+        # batch sweep to the HBM ceiling (bf16, plain loss)
+        best_b = None
+        for B in args.batches:
+            ok = run(f"bf16_b{B}", B=B, dtype="bfloat16",
+                     fused_loss=False, accum=1)
+            if ok:
+                best_b = B
+            else:
+                break
+        bb = best_b or 4
+        # fused focal loss at the best batch
+        run(f"bf16_b{bb}_fused_focal", B=bb, dtype="bfloat16",
+            fused_loss=True, accum=1)
+        # gradient accumulation (MultiSteps) overhead at the best batch
+        run(f"bf16_b{bb}_accum2", B=bb, dtype="bfloat16",
+            fused_loss=False, accum=2)
+        run(f"bf16_b{bb}_accum4", B=bb, dtype="bfloat16",
+            fused_loss=False, accum=4)
+        # fp32 comparison (smaller batch; fp32 doubles the activation set)
+        run("fp32_b4", B=4, dtype="float32", fused_loss=False, accum=1)
+        if bb >= 8:
+            run("fp32_b8", B=8, dtype="float32", fused_loss=False, accum=1)
 
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     with open(args.out, "w") as f:
-        json.dump({"results": results,
-                   "note": "per-dispatch median incl. relay latency; "
-                           "one TPU v5e chip via axon relay"}, f, indent=1)
+        json.dump({
+            "results": results,
+            "roofline": {
+                "fwd_gflop_per_pair": FWD_GFLOP_PER_PAIR,
+                "train_flop_factor": TRAIN_FLOP_FACTOR,
+                "v5e_peak_tflops": V5E_PEAK_TFLOPS},
+            "note": "n-inner chained steps unrolled per dispatch (relay "
+                    "latency amortized); one TPU v5e chip via axon relay",
+        }, f, indent=1)
+    print("wrote", args.out)
 
 
 if __name__ == "__main__":
