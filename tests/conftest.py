@@ -18,3 +18,16 @@ import jax  # noqa: E402  (import after env setup)
 # force CPU again here, before any backend is initialized.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent XLA compilation cache: the default gate is dominated by
+# full-model jit compiles (round-3 verdict: 13 min wall); caching compiled
+# programs across runs cuts repeat gates to the actual test compute.
+# Safe for correctness: keyed on HLO + flags, so any code change that
+# alters a program recompiles it.  Override path via LOFTR_TEST_CACHE
+# (set empty to disable).
+_cache_dir = os.environ.get(
+    "LOFTR_TEST_CACHE",
+    os.path.join(os.path.dirname(__file__), ".jax_cache"))
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -54,6 +54,8 @@ def collect_trace(args):
 
     W, H = (int(t) for t in args.res.split("x"))
     B = args.batch
+    if args.train:
+        return collect_train_trace(args, W, H, B)
     cfg = get_config("indoor_ds", {"loftr": {"dtype": "bfloat16"}})
     model = LoFTR(cfg.loftr)
 
@@ -85,6 +87,35 @@ def collect_trace(args):
         for _ in range(args.reps):
             float(run(variables, inp))
     pbs = glob.glob(osp.join(tdir, "**", "*.xplane.pb"), recursive=True)
+    assert pbs, f"no xplane under {tdir}"
+    return pbs[0], B
+
+
+def collect_train_trace(args, W, H, B):
+    """Trace the full jitted train step (tools/train_bench.py program)."""
+    import glob as _glob
+    import jax
+    from loftr_tpu import get_config
+    from loftr_tpu.train.trainer import Trainer
+    from tools.train_bench import make_batch
+
+    cfg = get_config("indoor_ds", {
+        "loftr": {"dtype": "bfloat16",
+                  "loss": {"use_pallas": args.fused_focal}},
+        "trainer": {"scheduler_interval": "step", "warmup_step": 100}})
+    trainer = Trainer(cfg, world_size=1, batch_size_per_device=B)
+    batch = make_batch(B, W, H)
+    example = jax.tree.map(lambda x: x[:1], batch)
+    state = trainer.init_state(jax.random.PRNGKey(0), example)
+    print("compiling/warmup (train step)...", flush=True)
+    state, sc = trainer.train_step(state, batch)
+    float(sc["loss"])
+    tdir = tempfile.mkdtemp(prefix="loftr_train_trace_")
+    with jax.profiler.trace(tdir):
+        for _ in range(args.reps):
+            state, sc = trainer.train_step(state, batch)
+            float(sc["loss"])
+    pbs = _glob.glob(osp.join(tdir, "**", "*.xplane.pb"), recursive=True)
     assert pbs, f"no xplane under {tdir}"
     return pbs[0], B
 
@@ -130,6 +161,9 @@ def main():
     ap.add_argument("--pad-channels", action=argparse.BooleanOptionalAction,
                     default=True)
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--train", action="store_true",
+                    help="trace the jitted TRAIN step instead of inference")
+    ap.add_argument("--fused-focal", action="store_true")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
