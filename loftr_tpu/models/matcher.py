@@ -115,6 +115,8 @@ class LoFTR(nn.Module):
         conf_with_bin = None
         conf = None
         fused_train = (train and cfg.loss.use_pallas and
+                       (jax.default_backend() == "tpu"
+                        or cfg.loss.force_pallas_cpu) and
                        mc.match_type == "dual_softmax" and
                        not mc.sparse_spvs and cfg.loss.coarse_type == "focal")
         use_pallas = (fused_train or

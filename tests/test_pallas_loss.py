@@ -122,9 +122,13 @@ def test_fused_training_step_matches_standard():
         "match_coarse": {"train_matches": 8, "train_pad_num_gt_min": 2},
     }
     base = get_config("indoor_ds").replaced({
-        "loftr": tiny,
+        "loftr": {**tiny, "loss": {"use_pallas": False}},
         "trainer": {"scheduler_interval": "step", "warmup_step": 10}})
-    fused = base.replaced({"loftr": {"loss": {"use_pallas": True}}})
+    fused = base.replaced({"loftr": {"loss": {
+        "use_pallas": True,
+        # CPU test: opt in to interpret-mode pallas (the default gate
+        # engages the fused path on TPU backends only)
+        "force_pallas_cpu": True}}})
 
     batch = ge._train_example(B=2)
     t_std = Trainer(base)
