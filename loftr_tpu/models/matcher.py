@@ -95,8 +95,12 @@ class LoFTR(nn.Module):
         # with cfg.coarse.seq_axis the XLA stack runs token-sharded over that
         # mesh axis instead (sequence parallelism, SURVEY.md §5.7).
         seq_axis = getattr(cfg.coarse, "seq_axis", None)
+        # lane-width gate: see the fused-fine gate below (Mosaic reshape
+        # fails below the 128-lane width on TPU for scaled-down d_model)
+        coarse_lane_ok = (d_c % 128 == 0
+                          or jax.default_backend() != "tpu")
         if (cfg.coarse.use_pallas and not train and seq_axis is None
-                and pallas_dtype_ok
+                and pallas_dtype_ok and coarse_lane_ok
                 and cfg.coarse.attention == "linear"):
             feat_c0, feat_c1 = FusedCoarseTransformer(
                 d_c, cfg.coarse.nhead, cfg.coarse.layer_names,
@@ -120,8 +124,9 @@ class LoFTR(nn.Module):
                        mc.match_type == "dual_softmax" and
                        not mc.sparse_spvs and cfg.loss.coarse_type == "focal")
         use_pallas = (fused_train or
-                      (mc.use_pallas and not train and pallas_dtype_ok and
-                       mc.match_type in ("dual_softmax", "sinkhorn")))
+                      (mc.use_pallas and not train and pallas_dtype_ok
+                       and coarse_lane_ok  # same Mosaic lane-width bound
+                       and mc.match_type in ("dual_softmax", "sinkhorn")))
         if use_pallas and mc.match_type == "dual_softmax":
             # fused kernel: no [L, S] conf matrix is ever materialized
             cand = M.pallas_mutual_nearest_candidates(
@@ -209,8 +214,14 @@ class LoFTR(nn.Module):
         # stages, ops/pallas/fine_stage.py); it declares the SAME param tree
         # as the XLA layer stack, so checkpoints drive either path.
         K = win0.shape[1]
+        # lane-width gate: Mosaic cannot lower the kernel's [G, W2, C] ->
+        # [G*W2, C] vector reshape when C is below the 128-lane register
+        # width (observed: "infer-vector-layout: unsupported shape cast"
+        # at C=16 on v5e).  Scaled-down models fall back to the XLA path
+        # on TPU; CPU interpret mode is unaffected.
+        fine_lane_ok = (d_f % 128 == 0 or jax.default_backend() != "tpu")
         fuse_fine = (cfg.fine.use_pallas and not train
-                     and pallas_dtype_ok
+                     and pallas_dtype_ok and fine_lane_ok
                      and cfg.fine.attention == "linear"
                      and tuple(cfg.fine.layer_names) == ("self", "cross"))
         if fuse_fine:
