@@ -132,6 +132,12 @@ class FineConfig:
     # (better backward: dense slice-adds instead of scatter-adds).
     # 'auto' = direct for inference, unfold for training.
     gather: str = "auto"
+    # head-fused linear attention on the XLA TRAINING path (eval keeps the
+    # plain oracle): the per-head [25, d=16] einsums at B*K=15k windows
+    # are MXU-issue-bound in fwd+bwd; full-C block-diag matmuls trade 8x
+    # FLOPs for full-width issues (linear_attention_fused_heads — exact
+    # math, oracle-tested).  Measured +16.5% train step at B=8 640x480.
+    fused_heads: bool = True
 
 
 @dataclass(frozen=True)

@@ -231,9 +231,15 @@ class LoFTR(nn.Module):
         else:
             f0 = win0.reshape(B * K, W * W, d_f)
             f1 = win1.reshape(B * K, W * W, d_f)
+            # fused_heads engages in TRAINING only (+16.5% step time at
+            # B=8: the per-head [25,16] einsums' fwd+bwd are MXU-issue-
+            # bound); eval keeps the plain oracle so fp32-parity and
+            # golden paths are byte-stable.  Same params either way.
             f0, f1 = LocalFeatureTransformer(
                 d_f, cfg.fine.nhead, cfg.fine.layer_names,
                 cfg.fine.attention, dt,
+                fused_heads=(train and getattr(cfg.fine, "fused_heads",
+                                               False)),
                 name="loftr_fine")(f0, f1)
             f0 = f0.reshape(B, K, W * W, d_f)
             f1 = f1.reshape(B, K, W * W, d_f)

@@ -99,8 +99,8 @@ def test_full_attention_model_variant():
     rng = np.random.RandomState(0)
     inp = MatchInput(image0=jnp.asarray(rng.rand(1, 32, 32, 1), jnp.float32),
                      image1=jnp.asarray(rng.rand(1, 32, 32, 1), jnp.float32))
-    v = model.init(jax.random.PRNGKey(0), inp)
-    out = model.apply(v, inp)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), inp)
+    out = jax.jit(model.apply)(v, inp)
     assert np.isfinite(np.asarray(out.mkpts1_f)).all()
 
 
@@ -121,9 +121,9 @@ def test_group_norm_backbone():
     from loftr_tpu.models.backbone import ResNetFPN_8_2
     m = ResNetFPN_8_2(8, (8, 16, 32), norm="group")
     x = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 1), jnp.float32)
-    v = m.init(jax.random.PRNGKey(0), x)
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
     assert "batch_stats" not in v  # group norm keeps no running stats
-    c, f = m.apply(v, x)
+    c, f = jax.jit(m.apply)(v, x)
     assert np.isfinite(np.asarray(c)).all()
 
 

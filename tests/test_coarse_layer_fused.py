@@ -99,9 +99,9 @@ def test_full_model_fused_coarse_vs_xla():
     cfg_f = get_config("indoor_ds", over)
     cfg_x = cfg_f.replaced({"loftr": {"coarse": {"use_pallas": False}}})
     m_x, m_f = LoFTR(cfg_x.loftr), LoFTR(cfg_f.loftr)
-    v = m_x.init(jax.random.PRNGKey(0), inp)
-    out_x = m_x.apply(v, inp)
-    out_f = m_f.apply(v, inp)
+    v = jax.jit(m_x.init)(jax.random.PRNGKey(0), inp)
+    out_x = jax.jit(m_x.apply)(v, inp)
+    out_f = jax.jit(m_f.apply)(v, inp)
     np.testing.assert_allclose(np.asarray(out_f.coarse.mconf),
                                np.asarray(out_x.coarse.mconf),
                                atol=5e-4, rtol=5e-4)

@@ -94,9 +94,9 @@ def test_full_model_fused_vs_xla_fine():
     cfg_x = cfg_x.replaced({"loftr": {"fine": {"use_pallas": False}}})
     cfg_f = cfg_x.replaced({"loftr": {"fine": {"use_pallas": True}}})
     m_x, m_f = LoFTR(cfg_x.loftr), LoFTR(cfg_f.loftr)
-    v = m_x.init(jax.random.PRNGKey(0), inp)
-    out_x = m_x.apply(v, inp)
-    out_f = m_f.apply(v, inp)  # same variables: identical tree
+    v = jax.jit(m_x.init)(jax.random.PRNGKey(0), inp)
+    out_x = jax.jit(m_x.apply)(v, inp)
+    out_f = jax.jit(m_f.apply)(v, inp)  # same variables: identical tree
     np.testing.assert_allclose(np.asarray(out_f.expec_f),
                                np.asarray(out_x.expec_f),
                                atol=5e-4, rtol=5e-4)

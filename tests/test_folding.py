@@ -74,7 +74,7 @@ def test_full_matcher_folding_end_to_end():
     assert fcfg.loftr.backbone.norm == "none"
     folded = fold_batchnorm(v)
     assert "batch_stats" not in folded
-    got = LoFTR(fcfg.loftr).apply(folded, inp)
+    got = jax.jit(LoFTR(fcfg.loftr).apply)(folded, inp)
 
     np.testing.assert_allclose(np.asarray(got.conf_matrix),
                                np.asarray(ref.conf_matrix),
@@ -107,13 +107,13 @@ def test_channel_pad_preserves_function():
                                                  "use_pallas": False},
                                 "fine": {"use_pallas": False}}})
     model = LoFTR(cfg.loftr)
-    v = model.init(jax.random.PRNGKey(0), inp)
-    want = model.apply(v, inp)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), inp)
+    want = jax.jit(model.apply)(v, inp)
 
     v2 = pad_backbone_channels(v)
     cfg2 = pad_config(cfg)
     assert cfg2.loftr.backbone.block_dims == (128, 256, 256)
-    got = LoFTR(cfg2.loftr).apply(v2, inp)
+    got = jax.jit(LoFTR(cfg2.loftr).apply)(v2, inp)
     np.testing.assert_allclose(np.asarray(got.coarse.mconf),
                                np.asarray(want.coarse.mconf), atol=1e-5)
     np.testing.assert_allclose(np.asarray(got.expec_f),
@@ -136,12 +136,12 @@ def test_channel_pad_composes_with_fold():
                                                  "use_pallas": False},
                                 "fine": {"use_pallas": False}}})
     model = LoFTR(cfg.loftr)
-    v = model.init(jax.random.PRNGKey(0), inp)
-    want = model.apply(v, inp)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), inp)
+    want = jax.jit(model.apply)(v, inp)
 
     folded = fold_batchnorm(v)
     padded = pad_backbone_channels(folded)
     cfg2 = pad_config(fold_config(cfg))
-    got = LoFTR(cfg2.loftr).apply(padded, inp)
+    got = jax.jit(LoFTR(cfg2.loftr).apply)(padded, inp)
     np.testing.assert_allclose(np.asarray(got.expec_f),
                                np.asarray(want.expec_f), atol=2e-4)

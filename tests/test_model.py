@@ -51,8 +51,8 @@ def test_forward_shapes_dual_softmax():
     cfg = _small_cfg()
     model = LoFTR(cfg.loftr)
     inp = _inputs()
-    variables = model.init(jax.random.PRNGKey(0), inp)
-    out = model.apply(variables, inp)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), inp)
+    out = jax.jit(model.apply)(variables, inp)
     K = cfg.loftr.match_coarse.max_matches
     assert out.mkpts0_f.shape == (1, K, 2)
     assert out.mkpts1_f.shape == (1, K, 2)
@@ -68,7 +68,7 @@ def test_forward_jit_and_masked():
     cfg = _small_cfg()
     model = LoFTR(cfg.loftr)
     inp = _inputs(masked=True)
-    variables = model.init(jax.random.PRNGKey(0), inp)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), inp)
     fwd = jax.jit(lambda v, i: model.apply(v, i))
     out = fwd(variables, inp)
     valid = np.asarray(out.valid)
@@ -85,9 +85,9 @@ def test_forward_sinkhorn():
                                    "skh_iters": 3})
     model = LoFTR(cfg.loftr)
     inp = _inputs()
-    variables = model.init(jax.random.PRNGKey(0), inp)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), inp)
     assert "bin_score" in variables["params"]
-    out = model.apply(variables, inp)
+    out = jax.jit(model.apply)(variables, inp)
     assert out.conf_matrix.shape[1] == (64 // 8) ** 2
 
 
@@ -102,8 +102,8 @@ def test_backbone_16_4():
                            "window_size": 5})
     model = LoFTR(cfg.loftr)
     inp = _inputs(H=64, W=64)
-    variables = model.init(jax.random.PRNGKey(0), inp)
-    out = model.apply(variables, inp)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), inp)
+    out = jax.jit(model.apply)(variables, inp)
     L = (64 // 16) ** 2
     assert out.conf_matrix.shape == (1, L, L)
 
@@ -132,7 +132,7 @@ def test_train_path_and_loss():
     ii = np.nonzero(gt_valid[0])[0]
     np.testing.assert_array_equal(gt_j[0, ii], ii)
 
-    variables = model.init(jax.random.PRNGKey(0), inp)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), inp)
 
     def loss_fn(params, bstats, rng):
         out, updates = model.apply(
@@ -146,7 +146,8 @@ def test_train_path_and_loss():
                                    cfg.loftr.match_coarse)
         return loss, scalars
 
-    (loss, scalars), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+    (loss, scalars), grads = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True))(
         variables["params"], variables["batch_stats"], jax.random.PRNGKey(1))
     assert np.isfinite(float(loss))
     assert float(scalars["loss_c"]) > 0
@@ -172,8 +173,8 @@ def test_pallas_path_equals_xla_path(match_type):
                                         "thr": 0.05})
     inp = _inputs(seed=7)
     model = LoFTR(cfg_base.loftr)
-    variables = model.init(jax.random.PRNGKey(2), inp)
-    want = model.apply(variables, inp)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(2), inp)
+    want = jax.jit(lambda v, i: model.apply(v, i))(variables, inp)
 
     cfg_p = cfg_base.replaced({"loftr": {"match_coarse": {
         "use_pallas": True}}})
@@ -185,7 +186,7 @@ def test_pallas_path_equals_xla_path(match_type):
          mock.patch.object(
             psk, "fused_sinkhorn_match",
             lambda *a, **k: orig_sk(*a, **{**k, "interpret": True})):
-        got = model_p.apply(variables, inp)
+        got = jax.jit(lambda v, i: model_p.apply(v, i))(variables, inp)
 
     np.testing.assert_array_equal(np.asarray(got.coarse.mask),
                                   np.asarray(want.coarse.mask))

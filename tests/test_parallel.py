@@ -88,8 +88,8 @@ def test_full_model_seq_sharded_full_attention_matches_unsharded():
         image0=jnp.asarray(rng.rand(2, 64, 64, 1), jnp.float32),
         image1=jnp.asarray(rng.rand(2, 64, 64, 1), jnp.float32))
     model = LoFTR(cfg.loftr)
-    variables = model.init(jax.random.PRNGKey(0), inp)
-    want = model.apply(variables, inp)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), inp)
+    want = jax.jit(lambda v, i: model.apply(v, i))(variables, inp)
 
     cfg_sp = cfg.replaced({"loftr": {"coarse": {"seq_axis": "seq"}}})
     model_sp = LoFTR(cfg_sp.loftr)
@@ -122,8 +122,8 @@ def test_data_parallel_matcher_agrees_with_single_device():
     imgs0 = rng.rand(8, 32, 32, 1).astype(np.float32)
     imgs1 = rng.rand(8, 32, 32, 1).astype(np.float32)
     inp = MatchInput(image0=jnp.asarray(imgs0), image1=jnp.asarray(imgs1))
-    variables = model.init(jax.random.PRNGKey(0), inp)
-    want = model.apply(variables, inp)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), inp)
+    want = jax.jit(lambda v, i: model.apply(v, i))(variables, inp)
 
     mesh = make_mesh(n_data=8)
     with jax.set_mesh(mesh):
@@ -193,8 +193,8 @@ def test_tensor_parallel_param_sharding():
     rng = np.random.RandomState(0)
     inp = MatchInput(image0=jnp.asarray(rng.rand(2, 32, 32, 1), jnp.float32),
                      image1=jnp.asarray(rng.rand(2, 32, 32, 1), jnp.float32))
-    variables = model.init(jax.random.PRNGKey(0), inp)
-    want = model.apply(variables, inp)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), inp)
+    want = jax.jit(lambda v, i: model.apply(v, i))(variables, inp)
 
     mesh = make_mesh(n_data=2, n_model=4)
     with jax.set_mesh(mesh):
@@ -242,8 +242,8 @@ def test_full_model_seq_sharded_matches_unsharded():
         image0=jnp.asarray(rng.rand(2, 64, 64, 1), jnp.float32),
         image1=jnp.asarray(rng.rand(2, 64, 64, 1), jnp.float32))
     model = LoFTR(cfg.loftr)
-    variables = model.init(jax.random.PRNGKey(0), inp)
-    want = model.apply(variables, inp)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), inp)
+    want = jax.jit(lambda v, i: model.apply(v, i))(variables, inp)
 
     cfg_sp = cfg.replaced({"loftr": {"coarse": {"seq_axis": "seq"}}})
     model_sp = LoFTR(cfg_sp.loftr)

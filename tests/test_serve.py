@@ -34,7 +34,7 @@ def _service(**kw):
     inp = MatchInput(
         image0=jnp.zeros((1, 64, 64, 1), jnp.float32),
         image1=jnp.zeros((1, 64, 64, 1), jnp.float32))
-    variables = model.init(jax.random.PRNGKey(0), inp)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), inp)
     defaults = dict(preset="default", dtype="float32", use_pallas=False,
                     overrides=SMALL, buckets=((64, 64), (96, 96)),
                     batch_sizes=(1, 2, 4), flush_ms=20.0)
@@ -84,7 +84,7 @@ def test_service_matches_direct_call():
         image1=jnp.asarray(img1)[None, :, :, None],
         mask0=jnp.ones((1, 8, 8), bool), mask1=jnp.ones((1, 8, 8), bool),
         scale0=jnp.ones((1, 2)), scale1=jnp.ones((1, 2)))
-    out = model.apply(variables, inp)
+    out = jax.jit(model.apply)(variables, inp)
     valid = np.asarray(out.valid)[0]
     np.testing.assert_allclose(
         res["mkpts0"], np.asarray(out.mkpts0_f)[0][valid], atol=1e-4)
@@ -107,7 +107,7 @@ def test_service_uint8_wire_matches_direct_call():
         image1=jnp.asarray(img1, jnp.float32)[None, :, :, None] / 255.0,
         mask0=jnp.ones((1, 8, 8), bool), mask1=jnp.ones((1, 8, 8), bool),
         scale0=jnp.ones((1, 2)), scale1=jnp.ones((1, 2)))
-    out = model.apply(variables, inp)
+    out = jax.jit(model.apply)(variables, inp)
     valid = np.asarray(out.valid)[0]
     np.testing.assert_allclose(
         res["mkpts0"], np.asarray(out.mkpts0_f)[0][valid], atol=1e-4)

@@ -33,7 +33,7 @@ def test_matcher_on_real_pair():
         "fine": {"d_model": 16, "nhead": 2, "layer_names": ("self", "cross")},
         "match_coarse": {"max_matches": 64, "use_pallas": False}}})
     model = LoFTR(cfg.loftr)
-    variables = model.init(jax.random.PRNGKey(0), inp)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), inp)
     out = jax.jit(lambda v, i: model.apply(v, i))(variables, inp)
 
     # random weights on real images: pipeline runs, finite outputs, kpts in

@@ -62,10 +62,10 @@ def test_backbone_winograd_parity():
     r = np.random.RandomState(3)
     imgs = jnp.asarray(r.rand(2, 64, 64, 1), jnp.float32)
     bb = build_backbone((8, 2), 16, (16, 24, 32), "batch")
-    v = bb.init(jax.random.PRNGKey(0), imgs)
-    ref_c, ref_f = bb.apply(v, imgs)
+    v = jax.jit(bb.init)(jax.random.PRNGKey(0), imgs)
+    ref_c, ref_f = jax.jit(bb.apply)(v, imgs)
     bb_w = build_backbone((8, 2), 16, (16, 24, 32), "batch", winograd=True)
-    got_c, got_f = bb_w.apply(v, imgs)  # same param tree
+    got_c, got_f = jax.jit(bb_w.apply)(v, imgs)  # same param tree
     np.testing.assert_allclose(np.asarray(got_c), np.asarray(ref_c),
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(got_f), np.asarray(ref_f),
