@@ -164,8 +164,11 @@ def test_service_multi_device_mesh():
     from loftr_tpu.parallel.mesh import make_mesh
 
     mesh = make_mesh(n_data=4, devices=jax.devices()[:4])
+    # float32 wire: this test checks mesh sharding against an exact-float
+    # oracle; the default uint8 wire would add 1/255 quantization (~0.01 px
+    # fine-coordinate shift, covered by the uint8-wire test instead)
     svc, variables, model = _service(mesh=mesh, batch_sizes=(1, 2, 4),
-                                     flush_ms=40.0)
+                                     flush_ms=40.0, wire_dtype="float32")
     # rungs rounded up to multiples of 4 and deduped
     assert svc.batch_sizes == (4,)
     rng = np.random.RandomState(11)
