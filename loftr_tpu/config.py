@@ -174,6 +174,13 @@ class ModelConfig:
     loss: LossConfig = field(default_factory=LossConfig)
     # compute dtype for the network body; params stay fp32
     dtype: str = "float32"
+    # two-image fast-path packing (ops/packing.py): 'concat' (reference
+    # batch-axis concat; fastest on ONE chip, 137.9 vs 133.9 pairs/s) or
+    # 'interleave' (shard-local under a data-sharded batch: eliminates
+    # 1.5 GB/step of GSPMD activation resharding, perf/scaling_model.json).
+    # Multi-device entry points (Trainer with world_size>1, meshed serve,
+    # train.py, dryrun) switch to 'interleave' automatically.
+    batch_packing: str = "concat"
 
 
 @dataclass(frozen=True)

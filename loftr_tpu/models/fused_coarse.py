@@ -29,6 +29,7 @@ class FusedCoarseTransformer(nn.Module):
     nhead: int
     layer_names: Sequence[str]
     tile: int = 0  # 0 = auto: largest exact-divisor tile (no pad waste)
+    batch_packing: str = "concat"  # 'concat' | 'interleave' (ops/packing.py)
 
     @nn.compact
     def __call__(self, feat0: jax.Array, feat1: jax.Array,
@@ -51,11 +52,15 @@ class FusedCoarseTransformer(nn.Module):
 
             if name == "self":
                 if same_shape and masks_same:
-                    feat = jnp.concatenate([feat0, feat1], axis=0)
-                    m = None if mask0 is None else jnp.concatenate(
-                        [mask0, mask1], axis=0)
+                    # packing mode per batch_packing (ops/packing.py)
+                    from loftr_tpu.ops.packing import (pack_rows,
+                                                       unpack_rows)
+                    pk = self.batch_packing
+                    feat = pack_rows(feat0, feat1, pk)
+                    m = (None if mask0 is None
+                         else pack_rows(mask0, mask1, pk))
                     feat = layer(feat, feat, m, m)
-                    feat0, feat1 = jnp.split(feat, 2, axis=0)
+                    feat0, feat1 = unpack_rows(feat, pk)
                 else:
                     feat0 = layer(feat0, feat0, mask0, mask0)
                     feat1 = layer(feat1, feat1, mask1, mask1)

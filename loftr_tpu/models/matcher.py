@@ -63,11 +63,15 @@ class LoFTR(nn.Module):
                                   name="backbone", dtype=dt,
                                   winograd=getattr(cfg.backbone, "winograd",
                                                    False))
+        pk = getattr(cfg, "batch_packing", "concat")
         if (H0, W0) == (H1, W1):
+            # two-image packing (ops/packing.py): cfg.batch_packing selects
+            # concat (single-chip layout) vs interleave (shard-local DP)
+            from loftr_tpu.ops.packing import pack_rows, unpack_rows
             feat_c, feat_f = backbone(
-                jnp.concatenate([inp.image0, inp.image1], axis=0), train)
-            feat_c0, feat_c1 = jnp.split(feat_c, 2, axis=0)
-            feat_f0, feat_f1 = jnp.split(feat_f, 2, axis=0)
+                pack_rows(inp.image0, inp.image1, pk), train)
+            feat_c0, feat_c1 = unpack_rows(feat_c, pk)
+            feat_f0, feat_f1 = unpack_rows(feat_f, pk)
         else:
             feat_c0, feat_f0 = backbone(inp.image0, train)
             feat_c1, feat_f1 = backbone(inp.image1, train)
@@ -104,12 +108,14 @@ class LoFTR(nn.Module):
                 and cfg.coarse.attention == "linear"):
             feat_c0, feat_c1 = FusedCoarseTransformer(
                 d_c, cfg.coarse.nhead, cfg.coarse.layer_names,
+                batch_packing=pk,
                 name="loftr_coarse")(feat_c0, feat_c1, mask_c0, mask_c1)
         else:
             feat_c0, feat_c1 = LocalFeatureTransformer(
                 d_c, cfg.coarse.nhead, cfg.coarse.layer_names,
                 cfg.coarse.attention, dt,
                 fused_heads=getattr(cfg.coarse, "fused_heads", False),
+                batch_packing=pk,
                 seq_axis=seq_axis,
                 name="loftr_coarse")(
                     feat_c0, feat_c1, mask_c0, mask_c1)
@@ -199,9 +205,9 @@ class LoFTR(nn.Module):
             c1 = jnp.take_along_axis(
                 feat_c1, matches.j_ids[:, :, None], axis=1)
             down = dense(d_f, use_bias=True, name="down_proj", dtype=dt)
-            cat = jnp.concatenate([c0, c1], axis=0)  # share weights, one call
-            cwin = down(cat)
-            c0w, c1w = jnp.split(cwin, 2, axis=0)
+            from loftr_tpu.ops.packing import pack_rows, unpack_rows
+            cwin = down(pack_rows(c0, c1, pk))  # share weights, one call
+            c0w, c1w = unpack_rows(cwin, pk)
             merge = dense(d_f, use_bias=True, name="merge_feat", dtype=dt)
             ww = W * W
             win0 = merge(jnp.concatenate(
@@ -240,6 +246,7 @@ class LoFTR(nn.Module):
                 cfg.fine.attention, dt,
                 fused_heads=(train and getattr(cfg.fine, "fused_heads",
                                                False)),
+                batch_packing=pk,
                 name="loftr_fine")(f0, f1)
             f0 = f0.reshape(B, K, W * W, d_f)
             f1 = f1.reshape(B, K, W * W, d_f)

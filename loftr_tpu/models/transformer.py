@@ -115,6 +115,8 @@ class LocalFeatureTransformer(nn.Module):
     dtype: object = None
     fused_window_attn: bool = False  # see LoFTREncoderLayer
     fused_heads: bool = False        # see LoFTREncoderLayer
+    # two-image self-layer packing: 'concat' | 'interleave' (ops/packing.py)
+    batch_packing: str = "concat"
     # mesh axis name to shard the token (L/S) axis over, or None.  Requires
     # an ambient mesh (jax.set_mesh) containing that axis.  Capability
     # matrix: 'linear' attention shards with a single tiny psum of the
@@ -149,12 +151,16 @@ class LocalFeatureTransformer(nn.Module):
                                       name=f"layer_{idx}")
             if name == "self":
                 if same_shape and masks_same:
-                    # batch both images through one call (bigger matmuls)
-                    feat = jnp.concatenate([feat0, feat1], axis=0)
-                    m = None if mask0 is None else jnp.concatenate(
-                        [mask0, mask1], axis=0)
+                    # batch both images through one call (bigger matmuls);
+                    # packing mode concat/interleave per batch_packing
+                    # (interleave = shard-local under data parallelism)
+                    from loftr_tpu.ops.packing import pack_rows, unpack_rows
+                    pk = self.batch_packing
+                    feat = pack_rows(feat0, feat1, pk)
+                    m = (None if mask0 is None
+                         else pack_rows(mask0, mask1, pk))
                     feat = layer(feat, feat, m, m)
-                    feat0, feat1 = jnp.split(feat, 2, axis=0)
+                    feat0, feat1 = unpack_rows(feat, pk)
                 else:
                     feat0 = layer(feat0, feat0, mask0, mask0)
                     feat1 = layer(feat1, feat1, mask1, mask1)

@@ -173,6 +173,9 @@ class MatchingService:
                         "match_coarse": {"use_pallas": use_pallas},
                         "fine": {"use_pallas": use_pallas},
                         **infer_backbone_overrides(variables)}}
+        if mesh is not None:
+            # shard-local packing under the meshed data axis (ops/packing.py)
+            ov["loftr"]["batch_packing"] = "interleave"
         if overrides:
             # caller overrides win over the serving defaults
             ov_loftr = dict(ov["loftr"])

@@ -47,6 +47,12 @@ class Trainer:
 
     def __init__(self, config: Config, world_size: int = 1,
                  batch_size_per_device: int = 1):
+        if world_size > 1:
+            # shard-local two-image packing under data parallelism: the
+            # reference's batch-axis concat makes GSPMD reshard 1.5 GB of
+            # activations per step (ops/packing.py, perf/scaling_model.json)
+            config = config.replaced(
+                {"loftr": {"batch_packing": "interleave"}})
         self.config = config
         self.model = LoFTR(config.loftr)
         # val loss needs the materialized conf matrix; the fused Pallas

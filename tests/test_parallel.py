@@ -106,7 +106,71 @@ def test_full_model_seq_sharded_full_attention_matches_unsharded():
                                rtol=1e-4, atol=1e-3)
 
 
-def test_data_parallel_matcher_agrees_with_single_device():
+def test_interleave_packing_matches_concat():
+    """batch_packing='interleave' (shard-local DP fast path, ops/packing.py)
+    is numerically equivalent to the reference 'concat' layout (identical
+    elements; only BN batch-stat reduction order differs)."""
+    from loftr_tpu import LoFTR, MatchInput, get_config
+
+    over = {"loftr": {
+        "backbone": {"initial_dim": 8, "block_dims": (8, 12, 16)},
+        "coarse": {"d_model": 16, "nhead": 2,
+                   "layer_names": ("self", "cross")},
+        "fine": {"d_model": 8, "nhead": 2, "layer_names": ("self", "cross")},
+        "match_coarse": {"max_matches": 16, "thr": 0.05}}}
+    cfg_c = get_config("default").replaced(over)
+    cfg_i = cfg_c.replaced({"loftr": {"batch_packing": "interleave"}})
+    rng = np.random.RandomState(2)
+    inp = MatchInput(
+        image0=jnp.asarray(rng.rand(3, 32, 32, 1), jnp.float32),
+        image1=jnp.asarray(rng.rand(3, 32, 32, 1), jnp.float32))
+    m_c, m_i = LoFTR(cfg_c.loftr), LoFTR(cfg_i.loftr)
+    v = jax.jit(m_c.init)(jax.random.PRNGKey(0), inp)  # same param tree
+    out_c = jax.jit(m_c.apply)(v, inp)
+    out_i = jax.jit(m_i.apply)(v, inp)
+    np.testing.assert_array_equal(np.asarray(out_i.valid),
+                                  np.asarray(out_c.valid))
+    np.testing.assert_array_equal(np.asarray(out_i.coarse.i_ids),
+                                  np.asarray(out_c.coarse.i_ids))
+    np.testing.assert_allclose(np.asarray(out_i.mkpts1_f),
+                               np.asarray(out_c.mkpts1_f),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_dp_train_step_has_no_activation_collectives():
+    """The GSPMD-compiled data-parallel train step must move ONLY
+    gradient/BN all-reduces — no all-to-all / collective-permute of
+    activations (the round-4 interleave-packing fix; a concat-packed model
+    reshards ~1.5 GB/step at flagship size, tools/scaling_model.py)."""
+    import re
+    import __graft_entry__ as ge
+    from loftr_tpu import get_config
+    from loftr_tpu.train.trainer import Trainer
+    from loftr_tpu.parallel.mesh import replicate
+
+    cfg = get_config("indoor_ds").replaced({
+        "loftr": {
+            "backbone": {"initial_dim": 8, "block_dims": (8, 12, 16)},
+            "coarse": {"d_model": 16, "nhead": 2,
+                       "layer_names": ("self", "cross")},
+            "fine": {"d_model": 8, "nhead": 2,
+                     "layer_names": ("self", "cross")},
+            "match_coarse": {"train_matches": 8, "train_pad_num_gt_min": 2},
+        },
+        "trainer": {"scheduler_interval": "step", "warmup_step": 10}})
+    trainer = Trainer(cfg, world_size=8)  # auto-selects interleave packing
+    assert trainer.config.loftr.batch_packing == "interleave"
+    batch = ge._train_example(B=8)
+    state = trainer.init_state(jax.random.PRNGKey(0),
+                               jax.tree.map(lambda x: x[:1], batch))
+    mesh = make_mesh(n_data=8)
+    with jax.set_mesh(mesh):
+        compiled = (jax.jit(trainer._train_step)
+                    .lower(replicate(mesh, state), shard_batch(mesh, batch))
+                    .compile())
+    hlo = compiled.as_text()
+    bad = re.findall(r"=\s[^\n]*\b(all-to-all|collective-permute)\(", hlo)
+    assert not bad, f"activation resharding in the DP step: {bad[:5]}"
     """The full matcher under an 8-way data-sharded batch produces the same
     results as unsharded execution (GSPMD correctness check)."""
     from loftr_tpu import LoFTR, MatchInput, get_config

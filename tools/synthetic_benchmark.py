@@ -211,7 +211,10 @@ def main():
                          args.img_resize, args.steps, args.batch, args.lr,
                          args.seed, train_sampling=args.train_sampling)
 
-    child_env = {"JAX_PLATFORMS": "cpu"} if args.cpu else {}
+    # eval subprocess ALWAYS runs on CPU: when training ran on the chip the
+    # parent process still holds it, and two processes sharing the tunneled
+    # TPU deadlock-wait (.claude/skills/verify/SKILL.md)
+    child_env = {"JAX_PLATFORMS": "cpu"}
     results = {}
     if args.eval_untrained:
         # random-weights control: proves the AUC comes from training

@@ -152,6 +152,10 @@ def main():
     cfg = get_config_from_files(
         *args.config, preset=args.preset, fallback="indoor_ds",
         overrides=_json.loads(args.config_json) if args.config_json else None)
+    if n_dev > 1:
+        # shard-local two-image packing under data parallelism
+        # (ops/packing.py; also covers the Evaluator built from this cfg)
+        cfg = cfg.replaced({"loftr": {"batch_packing": "interleave"}})
     dataset = build_datasets(args, cfg, world_size, rank)
     n_samples = args.n_samples_per_subset or cfg.trainer.n_samples_per_subset
     sampler = SceneBalancedSampler(
