@@ -33,6 +33,10 @@ def parse_args():
                    help="index of the anchor frame")
     p.add_argument("--max-frames", type=int, default=0)
     p.add_argument("--thr", type=float, default=None)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="bfloat16 = deployment (fused Pallas kernels on "
+                        "TPU); float32 = XLA oracle paths (CPU smoke)")
     return p.parse_args()
 
 
@@ -79,7 +83,7 @@ def main():
     from loftr_tpu.utils.plotting import (dynamic_alpha, error_colormap,
                                           make_matching_figure)
 
-    overrides = {"loftr": {"dtype": "bfloat16",
+    overrides = {"loftr": {"dtype": args.dtype,
                            "match_coarse": {"use_pallas": True}}}
     if args.thr is not None:
         overrides["loftr"]["match_coarse"]["thr"] = args.thr
@@ -102,7 +106,7 @@ def main():
         variables = load_torch_checkpoint(args.ckpt)
     else:
         print("WARNING: random weights (no --ckpt)")
-        variables = model.init(jax.random.PRNGKey(0), example)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), example)
     fwd = jax.jit(lambda v, i: model.apply(v, i))
 
     os.makedirs(args.output, exist_ok=True)

@@ -143,3 +143,26 @@ def test_sinkhorn_sparse_spvs_loss_path():
                                                sparse_spvs=True),
                              conf_with_bin=conf_with_bin))
     assert np.isfinite(loss) and loss > 0
+
+
+def test_demo_cli_smoke(tmp_path):
+    """demo/demo_loftr.py end-to-end on the reference sample images
+    (previously manual-only): dir source -> matcher -> figure PNGs."""
+    import os
+    import subprocess
+    import sys
+    samples = "/root/reference/assets/scannet_sample_images"
+    if not os.path.isdir(samples):
+        pytest.skip("sample images missing")
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "..", "demo",
+                      "demo_loftr.py"),
+         "--input", samples, "--output", str(tmp_path / "out"),
+         "--resize", "96", "72", "--max-frames", "2",
+         "--dtype", "float32"],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert out.returncode == 0, out.stderr[-2000:]
+    pngs = list((tmp_path / "out").glob("*.png"))
+    assert pngs, out.stdout
