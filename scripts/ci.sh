@@ -3,10 +3,10 @@
 # defines the strategy this implements.)
 #
 #   scripts/ci.sh fast    - default merge gate: CPU, slow/heavy deselected,
-#                           4-way xdist (pytest.ini addopts).  ~13 min on a
-#                           contended 8-core box.
+#                           4-way xdist (pytest.ini addopts).  ~4.5 min on an
+#                           8-core box (persistent compile cache).
 #   scripts/ci.sh full    - the whole surface incl. `heavy` kernel/solver
-#                           stress tests and `slow` learning checks (~31 min).
+#                           stress tests and `slow` learning checks (~19 min).
 #   scripts/ci.sh heavy   - only the heavy/slow sets.
 #   scripts/ci.sh contract- driver contract: entry() jit compile (single
 #                           chip if a TPU is attached, else CPU) + the
