@@ -6,7 +6,7 @@ whole production stack on UNSEEN data: MegaDepth-format dataset on disk ->
 DataLoader -> Trainer -> orbax checkpoint -> `test.py` subprocess
 (matcher -> epipolar errors -> RANSAC pose -> aggregate_metrics) — and
 gates that training moves the benchmark metric, with the strongest
-committed evidence in perf/synthetic_auc.json (800 steps, 51 held-out
+committed evidence in perf/synthetic_auc.json (63 held-out
 pairs, 2000 steps trained on the chip at 256px: untrained auc@{5,10,20}
 = 0.0 -> trained 0.26/0.49/0.69, prec@1e-4 0.96).
 
@@ -44,7 +44,7 @@ def test_train_then_real_eval_cli_improves_pose_auc(tmp_path):
                        pose_solver="opencv",
                        extra_env={"JAX_PLATFORMS": "cpu"})
     print("eval:", json.dumps(agg))
-    # conservative gates for the shortened run (the committed 800-step
+    # conservative gates for the shortened run (the committed
     # artifact reaches prec 0.96 / auc@20 0.69; untrained measures 0.0)
     assert agg["prec@1e-04"] > 0.3, agg
     assert agg["auc@20"] > 0.03, agg
