@@ -138,6 +138,12 @@ class FineConfig:
     # FLOPs for full-width issues (linear_attention_fused_heads — exact
     # math, oracle-tested).  Measured +16.5% train step at B=8 640x480.
     fused_heads: bool = True
+    # windows packed per fused-kernel attention row (ops/pallas/
+    # fine_stage.py::_attention).  Swept P=1/2/4 at flagship shapes
+    # (perf ledger round 4): NEGATIVE — P>1 adds cross-window masking work
+    # without improving MXU issue width, so 1 stays the default.  Kept as
+    # a config knob so the experiment remains reachable.
+    win_pack: int = 1
 
 
 @dataclass(frozen=True)

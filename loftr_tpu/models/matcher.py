@@ -233,6 +233,7 @@ class LoFTR(nn.Module):
         if fuse_fine:
             expec_f = FusedFineStage(
                 d_f, cfg.fine.nhead, cfg.fine.layer_names,
+                win_pack=cfg.fine.win_pack,
                 name="loftr_fine")(win0, win1)
         else:
             f0 = win0.reshape(B * K, W * W, d_f)

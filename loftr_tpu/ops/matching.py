@@ -231,7 +231,7 @@ def select_train_matches(cand: CandidateMatches,
         eff_pred = eff - pad_num_gt_min
 
     if sampling == "global_replacement":
-        rng_quota, rng_pick = jax.random.split(rng_pred)
+        rng_quota, rng_shuffle, rng_pick = jax.random.split(rng_pred, 3)
         n_cand = jnp.sum(cand.valid, axis=1)                   # [B]
         total = jnp.maximum(jnp.sum(n_cand), 1)
         # quota ~ Binomial(B*k_pred_max, share) via a stochastic rounding
@@ -243,7 +243,8 @@ def select_train_matches(cand: CandidateMatches,
         eff_pred = jnp.minimum(quota[:, None], eff_pred)
         # compact valid candidates to the front in random order, then draw
         # WITH replacement from the valid prefix
-        cpri = jax.random.uniform(rng_pred, (B, L), minval=0.1, maxval=1.0)
+        cpri = jax.random.uniform(rng_shuffle, (B, L), minval=0.1,
+                                  maxval=1.0)
         cpri = jnp.where(cand.valid, cpri, -1.0)
         _, corder = jax.lax.top_k(cpri, L)                     # valid-first
         u = jax.random.uniform(rng_pick, (B, k_train))

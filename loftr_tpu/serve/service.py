@@ -53,9 +53,14 @@ def _to_gray(img, wire_dtype=np.float32) -> np.ndarray:
     program.  The 1/255 quantization step equals bf16's rounding grain at
     mid-range, so the deployment (bf16) numerics are unaffected."""
     a = np.asarray(img)
+    was_uint8 = a.dtype == np.uint8
     if a.ndim == 3 and a.shape[-1] == 3:
+        # The BGR matmul promotes uint8 to float32 but keeps the [0, 255]
+        # value range — normalize by the INPUT dtype, not the post-matmul one.
         a = a @ np.asarray([0.114, 0.587, 0.299],
-                           np.float32 if a.dtype == np.uint8 else a.dtype)
+                           np.float32 if was_uint8 else a.dtype)
+        if was_uint8:
+            a = a / 255.0
     a = a.reshape(a.shape[:2])
     if wire_dtype == np.uint8:
         if a.dtype == np.uint8:

@@ -171,6 +171,9 @@ def test_dp_train_step_has_no_activation_collectives():
     hlo = compiled.as_text()
     bad = re.findall(r"=\s[^\n]*\b(all-to-all|collective-permute)\(", hlo)
     assert not bad, f"activation resharding in the DP step: {bad[:5]}"
+
+
+def test_data_parallel_matcher_agrees_with_single_device():
     """The full matcher under an 8-way data-sharded batch produces the same
     results as unsharded execution (GSPMD correctness check)."""
     from loftr_tpu import LoFTR, MatchInput, get_config

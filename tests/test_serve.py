@@ -196,11 +196,48 @@ def test_service_multi_device_mesh():
     assert snap["padded_rows"] == 2
 
 
+def test_to_gray_value_ranges():
+    """_to_gray must preserve the value range for every (input dtype x wire)
+    combination — regression for uint8 COLOR inputs, whose BGR matmul
+    promotes to float32 in [0, 255] and used to saturate the uint8 wire
+    (clip to all-255) and reach the model unnormalized on the float wire."""
+    from loftr_tpu.serve.service import _to_gray
+
+    rng = np.random.RandomState(9)
+    f_rgb = rng.rand(16, 16, 3).astype(np.float32)          # [0, 1] float
+    u_rgb = np.round(f_rgb * 255.0).astype(np.uint8)         # same image u8
+    u_gray = (rng.rand(16, 16) * 255).astype(np.uint8)
+
+    # float32 wire: both color dtypes land in [0, 1] and agree (~1/255).
+    gf = _to_gray(f_rgb, np.float32)
+    gu = _to_gray(u_rgb, np.float32)
+    assert gf.dtype == np.float32 and 0.0 <= gu.min() and gu.max() <= 1.0
+    np.testing.assert_allclose(gu, gf, atol=2.5 / 255.0)
+    # uint8 wire: uint8 color must NOT saturate; matches float-color wire.
+    wu = _to_gray(u_rgb, np.uint8)
+    wf = _to_gray(f_rgb, np.uint8)
+    assert wu.dtype == np.uint8
+    assert int(np.sum(wu == 255)) < wu.size // 10
+    assert np.abs(wu.astype(int) - wf.astype(int)).max() <= 2
+    # uint8 grayscale passes through untouched on the uint8 wire.
+    np.testing.assert_array_equal(_to_gray(u_gray, np.uint8), u_gray)
+
+
 def test_service_uint8_and_rgb_inputs():
+    """Color (uint8 RGB) and grayscale submissions of the SAME underlying
+    image must produce identical matches — end-to-end range-handling check."""
     svc, _, _ = _service()
     rng = np.random.RandomState(9)
     u8 = (rng.rand(64, 64) * 255).astype(np.uint8)
     rgb = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    gray_of_rgb = np.clip(np.round(
+        rgb @ np.asarray([0.114, 0.587, 0.299], np.float32)), 0, 255
+    ).astype(np.uint8)
     with svc:
         r = svc.match(u8, rgb)
+        r_gray = svc.match(u8, gray_of_rgb)
     assert r["mkpts0"].shape[1] == 2
+    # On the uint8 wire the color path quantizes identically to its own
+    # grayscale rendering -> bit-identical device inputs and matches.
+    assert r["mkpts0"].shape == r_gray["mkpts0"].shape
+    np.testing.assert_allclose(r["mkpts1"], r_gray["mkpts1"], atol=1e-5)
