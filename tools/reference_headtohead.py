@@ -1,0 +1,439 @@
+#!/usr/bin/env python
+"""Accuracy anchor: train the REFERENCE torch network on the same synthetic
+benchmark as perf/synthetic_auc.json (round-5 verdict ask #1).
+
+The real parity gate (auc@10 = 40.8 on ScanNet-1500,
+/root/reference/configs/loftr/indoor/scannet/loftr_ds_eval.py:6-8) is
+environmentally blocked — no released weights or datasets exist in this
+image.  This harness provides the strongest feasible substitute: it imports
+the reference's OWN modules by path (src/loftr/loftr.py,
+src/losses/loftr_loss.py, src/loftr/utils/supervision.py — torch 2.x is in
+the image), shims the two missing kornia calls with closed-form torch, and
+trains that network on the IDENTICAL synthetic scenes / schedule used by
+tools/synthetic_benchmark.py, evaluating both sides through the repo's own
+metric stack (estimate_pose_opencv -> relative_pose_error ->
+aggregate_metrics, same thresholds as the flagship artifact).
+
+Result: "the reference network reaches X AUC on this data; loftr_tpu
+reaches Y" — every future accuracy-guarded perf decision becomes a parity
+comparison instead of an unanchored number.
+
+Usage (CPU-only; does not touch the TPU, safe to run alongside chip work):
+  python tools/reference_headtohead.py --work-dir /tmp/h2h \
+      --steps 2000 --out perf/reference_headtohead.json
+
+Model-scale mapping (SMALL_MODEL of tools/synthetic_benchmark.py):
+  backbone (32, 48, 64) / coarse d=64 nhead=4 2x(self,cross) /
+  fine d=32 nhead=2 (self,cross).  Train-match budget: loftr_tpu samples
+  `train_matches`=96 per pair; the reference's batch-global
+  TRAIN_COARSE_PERCENT is set to 96/1024 so both train the fine stage on
+  ~96 windows/pair; TRAIN_PAD_NUM_GT_MIN 12/pair -> 12*B batch-global.
+"""
+from __future__ import annotations
+
+import argparse
+import copy
+import json
+import logging
+import os
+import os.path as osp
+import sys
+import time
+import types
+
+import numpy as np
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+REFERENCE = "/root/reference"
+
+
+# --------------------------------------------------------------------------
+# shims: the reference imports loguru, yacs and two kornia utilities that are
+# not in this image.  All are tiny and closed-form.
+# --------------------------------------------------------------------------
+
+def install_reference_shims():
+    import torch
+
+    if "loguru" in sys.modules:
+        return
+
+    loguru = types.ModuleType("loguru")
+    loguru.logger = logging.getLogger("reference")
+    sys.modules["loguru"] = loguru
+
+    class CfgNode(dict):
+        """Minimal yacs.config.CfgNode: attribute-style nested dict."""
+
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError as e:
+                raise AttributeError(k) from e
+
+        def __setattr__(self, k, v):
+            self[k] = v
+
+        def clone(self):
+            return copy.deepcopy(self)
+
+    yacs = types.ModuleType("yacs")
+    yacs_config = types.ModuleType("yacs.config")
+    yacs_config.CfgNode = CfgNode
+    yacs.config = yacs_config
+    sys.modules["yacs"] = yacs
+    sys.modules["yacs.config"] = yacs_config
+
+    def create_meshgrid(height, width, normalized_coordinates=True,
+                        device=None, dtype=None):
+        """kornia.utils.create_meshgrid: [1, H, W, 2] grid, (x, y) order."""
+        if normalized_coordinates:
+            xs = torch.linspace(-1.0, 1.0, width, device=device, dtype=dtype)
+            ys = torch.linspace(-1.0, 1.0, height, device=device,
+                                dtype=dtype)
+        else:
+            xs = torch.linspace(0.0, width - 1, width, device=device,
+                                dtype=dtype)
+            ys = torch.linspace(0.0, height - 1, height, device=device,
+                                dtype=dtype)
+        gy, gx = torch.meshgrid(ys, xs, indexing="ij")
+        return torch.stack((gx, gy), dim=-1)[None]  # [1, H, W, 2]
+
+    def spatial_expectation2d(input, normalized_coordinates=True):
+        """kornia.geometry.subpix.dsnt.spatial_expectation2d for inputs that
+        are already probability maps (the reference calls it on a softmax
+        output): E[(x, y)] under the per-channel heatmap. [B,N,H,W]->[B,N,2]
+        """
+        b, n, h, w = input.shape
+        grid = create_meshgrid(h, w, normalized_coordinates,
+                               input.device, input.dtype)  # [1, H, W, 2]
+        probs = input.reshape(b, n, h * w)
+        g = grid.reshape(1, h * w, 2)
+        return torch.einsum("bnk,ukc->bnc", probs, g)
+
+    kornia = types.ModuleType("kornia")
+    k_utils = types.ModuleType("kornia.utils")
+    k_grid = types.ModuleType("kornia.utils.grid")
+    k_geometry = types.ModuleType("kornia.geometry")
+    k_subpix = types.ModuleType("kornia.geometry.subpix")
+    dsnt = types.ModuleType("kornia.geometry.subpix.dsnt")
+    k_utils.create_meshgrid = create_meshgrid
+    k_grid.create_meshgrid = create_meshgrid
+    dsnt.spatial_expectation2d = spatial_expectation2d
+    k_subpix.dsnt = dsnt
+    k_utils.grid = k_grid
+    k_geometry.subpix = k_subpix
+    kornia.utils = k_utils
+    kornia.geometry = k_geometry
+    for name, mod in [("kornia", kornia), ("kornia.utils", k_utils),
+                      ("kornia.utils.grid", k_grid),
+                      ("kornia.geometry", k_geometry),
+                      ("kornia.geometry.subpix", k_subpix),
+                      ("kornia.geometry.subpix.dsnt", dsnt)]:
+        sys.modules[name] = mod
+
+
+def load_reference_modules():
+    install_reference_shims()
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    from src.loftr import LoFTR                      # noqa: E402
+    from src.losses.loftr_loss import LoFTRLoss      # noqa: E402
+    from src.loftr.utils import supervision          # noqa: E402
+    return LoFTR, LoFTRLoss, supervision
+
+
+# --------------------------------------------------------------------------
+# config: the reference's default tree scaled to SMALL_MODEL
+# --------------------------------------------------------------------------
+
+def lower_config(cfg):
+    if not isinstance(cfg, dict):
+        return cfg
+    return {k.lower(): lower_config(v) for k, v in cfg.items()}
+
+
+def build_ref_config(batch_size: int, img_resize: int):
+    """Uppercase dict mirroring src/config/default.py:5-66 at SMALL_MODEL
+    scale; lower_config() of it feeds the model/loss (the reference's own
+    convention, src/loftr/utils/cvpr_ds_config.py:4-7)."""
+    n_coarse = (img_resize // 8) ** 2
+    train_matches_per_pair = 96   # = SMALL_MODEL match_coarse.train_matches
+    return {
+        "LOFTR": {
+            "BACKBONE_TYPE": "ResNetFPN",
+            "RESOLUTION": (8, 2),
+            "FINE_WINDOW_SIZE": 5,
+            "FINE_CONCAT_COARSE_FEAT": True,
+            "RESNETFPN": {"INITIAL_DIM": 32, "BLOCK_DIMS": [32, 48, 64]},
+            "COARSE": {
+                "D_MODEL": 64, "D_FFN": 64, "NHEAD": 4,
+                "LAYER_NAMES": ["self", "cross"] * 2,
+                "ATTENTION": "linear", "TEMP_BUG_FIX": True,
+            },
+            "MATCH_COARSE": {
+                "THR": 0.2, "BORDER_RM": 2,
+                "MATCH_TYPE": "dual_softmax", "DSMAX_TEMPERATURE": 0.1,
+                "SKH_ITERS": 3, "SKH_INIT_BIN_SCORE": 1.0,
+                "SKH_PREFILTER": False,
+                "TRAIN_COARSE_PERCENT":
+                    train_matches_per_pair / n_coarse,
+                "TRAIN_PAD_NUM_GT_MIN": 12 * batch_size,
+                "SPARSE_SPVS": True,
+            },
+            "FINE": {
+                "D_MODEL": 32, "D_FFN": 32, "NHEAD": 2,
+                "LAYER_NAMES": ["self", "cross"],
+                "ATTENTION": "linear",
+            },
+            "LOSS": {
+                "COARSE_TYPE": "focal", "COARSE_WEIGHT": 1.0,
+                "FOCAL_ALPHA": 0.25, "FOCAL_GAMMA": 2.0,
+                "POS_WEIGHT": 1.0, "NEG_WEIGHT": 1.0,
+                "FINE_TYPE": "l2_with_std", "FINE_WEIGHT": 1.0,
+                "FINE_CORRECT_THR": 1.0,
+            },
+        },
+    }
+
+
+# --------------------------------------------------------------------------
+# data: identical scenes via loftr_tpu's generator + MegaDepthDataset,
+# collated into the reference's torch batch layout
+# --------------------------------------------------------------------------
+
+def collate_torch(items):
+    import torch
+
+    def stack(key):
+        return torch.from_numpy(np.stack([np.asarray(it[key])
+                                          for it in items]))
+
+    batch = {
+        "image0": stack("image0").permute(0, 3, 1, 2).float(),  # [N,1,H,W]
+        "image1": stack("image1").permute(0, 3, 1, 2).float(),
+        "T_0to1": stack("T_0to1").float(),
+        "T_1to0": stack("T_1to0").float(),
+        "K0": stack("K0").float(), "K1": stack("K1").float(),
+        "scale0": stack("scale0").float(), "scale1": stack("scale1").float(),
+        "dataset_name": [it["dataset_name"] for it in items],
+        "pair_names": [it["pair_names"] for it in items],
+    }
+    if len(np.asarray(items[0]["depth0"]).shape) == 2:
+        batch["depth0"] = stack("depth0").float()
+        batch["depth1"] = stack("depth1").float()
+    # synthetic scenes are full-valid squares: the mask-free path is exact
+    # and matches what the masks (all-True) would compute
+    return batch
+
+
+def train_reference(work_dir, train_npzs, img_size, img_resize, steps,
+                    batch_size, lr, seed, log_every=25):
+    import torch
+
+    from loftr_tpu.data.megadepth import MegaDepthDataset
+    from loftr_tpu.data.sampler import ConcatDataset
+
+    LoFTR, LoFTRLoss, supervision = load_reference_modules()
+
+    cfg_u = build_ref_config(batch_size, img_resize)
+    cfg_l = lower_config(cfg_u)
+    model = LoFTR(config=cfg_l["loftr"])
+    loss_fn = LoFTRLoss(cfg_l)
+    torch.manual_seed(seed)
+    for m in model.modules():  # fresh init under the fixed seed
+        if hasattr(m, "reset_parameters"):
+            m.reset_parameters()
+
+    datasets = [MegaDepthDataset(
+        work_dir, p, mode="train", min_overlap_score=0.0,
+        img_resize=img_resize, df=8, img_padding=True, depth_padding=True,
+        depth_max_size=img_size) for p in train_npzs]
+    concat = ConcatDataset(datasets)
+    print(f"train pairs: {len(concat)}")
+
+    # optimizer/schedule mirror of the loftr_tpu flagship run
+    # (train/optim.py): AdamW(wd=0.1), global-norm clip 0.5, linear warmup
+    # 50 steps from 0, cosine annealing over `steps`
+    warmup = 50
+    opt = torch.optim.AdamW(model.parameters(), lr=lr, weight_decay=0.1)
+
+    def lr_at(step):
+        base = lr * 0.5 * (1 + np.cos(np.pi * step / steps))
+        wu = lr * min(step, warmup) / warmup
+        return wu if step < warmup else base
+
+    rng = np.random.RandomState(seed)
+    model.train()
+    losses = []
+    t0 = time.time()
+    step = 0
+    while step < steps:
+        order = rng.permutation(len(concat)).tolist()
+        for i0 in range(0, len(order) - batch_size + 1, batch_size):
+            items = [concat[j] for j in order[i0:i0 + batch_size]]
+            data = collate_torch(items)
+            for g in opt.param_groups:
+                g["lr"] = lr_at(step)
+            with torch.no_grad():
+                supervision.compute_supervision_coarse(data, cfg_u)
+            model(data)
+            with torch.no_grad():
+                supervision.compute_supervision_fine(data, cfg_u)
+            loss_fn(data)
+            opt.zero_grad()
+            data["loss"].backward()
+            torch.nn.utils.clip_grad_norm_(model.parameters(), 0.5)
+            opt.step()
+            losses.append(float(data["loss"].detach()))
+            step += 1
+            if step % log_every == 0:
+                print(f"step {step}/{steps} loss "
+                      f"{np.mean(losses[-log_every:]):.4f} "
+                      f"({time.time() - t0:.0f}s)", flush=True)
+            if step >= steps:
+                break
+    ckpt = osp.join(work_dir, "ref_model.pt")
+    import torch as _t
+    _t.save(model.state_dict(), ckpt)
+    return model, losses
+
+
+# --------------------------------------------------------------------------
+# eval: the repo's metric stack, same thresholds as the flagship artifact
+# (test.py megadepth path: epi_err_thr 1e-4, ransac 1.5 px, opencv solver)
+# --------------------------------------------------------------------------
+
+def evaluate_reference(model, work_dir, test_idx, img_resize,
+                       ransac_thr=1.5, epi_err_thr=1e-4):
+    import glob
+
+    import torch
+    import jax.numpy as jnp
+
+    from loftr_tpu.data.megadepth import MegaDepthDataset
+    from loftr_tpu.eval.metrics import (aggregate_metrics,
+                                        essential_from_pose,
+                                        relative_pose_error,
+                                        symmetric_epipolar_distance)
+    from loftr_tpu.eval.pose import estimate_pose_opencv
+
+    datasets = [MegaDepthDataset(
+        work_dir, p, mode="test", min_overlap_score=0.0,
+        img_resize=img_resize, df=8, img_padding=True)
+        for p in sorted(glob.glob(osp.join(test_idx, "*.npz")))]
+
+    model.eval()
+    metrics = {"identifiers": [], "R_errs": [], "t_errs": [],
+               "epi_errs": [], "n_matches": []}
+    for ds in datasets:
+        for idx in range(len(ds)):
+            item = ds[idx]
+            data = collate_torch([item])
+            with torch.no_grad():
+                model(data)
+            k0 = data["mkpts0_f"].numpy()
+            k1 = data["mkpts1_f"].numpy()
+            K0, K1 = item["K0"], item["K1"]
+            T = item["T_0to1"]
+            E = essential_from_pose(jnp.asarray(T)[None])
+            if len(k0):
+                epi = np.asarray(symmetric_epipolar_distance(
+                    jnp.asarray(k0)[None], jnp.asarray(k1)[None], E,
+                    jnp.asarray(K0)[None], jnp.asarray(K1)[None]))[0]
+            else:
+                epi = np.zeros((0,), np.float32)
+            metrics["identifiers"].append(f"{item['scene_id']}"
+                                          f"#{item['pair_id']}")
+            metrics["epi_errs"].append(epi)
+            metrics["n_matches"].append(int(len(k0)))
+            ret = (estimate_pose_opencv(k0, k1, K0, K1, ransac_thr)
+                   if len(k0) >= 5 else None)
+            if ret is None:
+                metrics["R_errs"].append(np.inf)
+                metrics["t_errs"].append(np.inf)
+            else:
+                R, t, _ = ret
+                t_err, R_err = relative_pose_error(T, R, t)
+                metrics["R_errs"].append(R_err)
+                metrics["t_errs"].append(t_err)
+    agg = aggregate_metrics(metrics, epi_err_thr)
+    agg["n_pairs"] = len(metrics["identifiers"])
+    agg["mean_matches"] = float(np.mean(metrics["n_matches"]))
+    return agg
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--work-dir", default="/tmp/h2h")
+    ap.add_argument("--img-size", type=int, default=256)
+    ap.add_argument("--img-resize", type=int, default=256)
+    ap.add_argument("--train-scenes", type=int, default=6)
+    ap.add_argument("--test-scenes", type=int, default=3)
+    ap.add_argument("--views", type=int, default=12)
+    ap.add_argument("--baseline", type=float, default=0.6)
+    ap.add_argument("--ransac-thr", type=float, default=1.5)
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--eval-untrained", action="store_true")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    # torch-only workload: force the JAX side (data gen + metrics) onto CPU
+    # so this never contends for the tunneled TPU chip
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import torch
+    torch.set_num_threads(max(1, (os.cpu_count() or 8) - 1))
+
+    sys.path.insert(0, REPO)
+    from tools.synthetic_benchmark import generate_data
+
+    t0 = time.time()
+    os.makedirs(args.work_dir, exist_ok=True)
+    train_npzs, test_idx = generate_data(
+        args.work_dir, args.train_scenes, args.test_scenes, args.views,
+        args.img_size, args.seed, baseline=args.baseline)
+    print(f"data generated in {time.time() - t0:.0f}s")
+
+    results = {}
+    if args.eval_untrained:
+        LoFTR, _, _ = load_reference_modules()
+        cfg_l = lower_config(build_ref_config(args.batch, args.img_resize))
+        torch.manual_seed(args.seed)
+        control = LoFTR(config=cfg_l["loftr"])
+        results["untrained"] = evaluate_reference(
+            control, args.work_dir, test_idx, args.img_resize,
+            args.ransac_thr)
+        print("untrained:", results["untrained"], flush=True)
+
+    model, losses = train_reference(
+        args.work_dir, train_npzs, args.img_size, args.img_resize,
+        args.steps, args.batch, args.lr, args.seed)
+    results["trained"] = evaluate_reference(
+        model, args.work_dir, test_idx, args.img_resize, args.ransac_thr)
+    print("trained:", results["trained"], flush=True)
+
+    artifact = {
+        "config": vars(args),
+        "network": "reference torch LoFTR "
+                   "(/root/reference/src/loftr/loftr.py, trained with "
+                   "src/losses/loftr_loss.py + src/loftr/utils/"
+                   "supervision.py; kornia shims, see this tool)",
+        "train_loss_curve_per20": [
+            round(float(np.mean(losses[i:i + 20])), 4)
+            for i in range(0, len(losses), 20)],
+        "results": results,
+        "wall_s": round(time.time() - t0, 1),
+    }
+    out = args.out or osp.join(REPO, "perf", "reference_headtohead.json")
+    with open(out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps({"out": out, **results}, indent=1))
+
+
+if __name__ == "__main__":
+    main()
