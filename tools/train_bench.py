@@ -50,14 +50,16 @@ def make_batch(B, W, H, seed=0):
         K0=jnp.asarray(K), K1=jnp.asarray(K))
 
 
-def bench_config(name, B, W, H, dtype, fused_loss, accum, n_inner, iters):
+def bench_config(name, B, W, H, dtype, fused_loss, accum, n_inner, iters,
+                 fused_heads=True):
     import numpy as np
     import jax
     from loftr_tpu import get_config
     from loftr_tpu.train.trainer import Trainer
 
     cfg = get_config("indoor_ds", {
-        "loftr": {"dtype": dtype, "loss": {"use_pallas": fused_loss}},
+        "loftr": {"dtype": dtype, "loss": {"use_pallas": fused_loss},
+                  "fine": {"fused_heads": fused_heads}},
         "trainer": {"scheduler_interval": "step", "warmup_step": 100,
                     "accum_steps": accum}})
     trainer = Trainer(cfg, world_size=1, batch_size_per_device=B)
@@ -90,6 +92,7 @@ def bench_config(name, B, W, H, dtype, fused_loss, accum, n_inner, iters):
         "config": name,
         "batch": B, "dtype": dtype, "fused_focal_loss": fused_loss,
         "accum_steps": accum, "n_inner": n_inner,
+        "fine_fused_heads": fused_heads,
         "step_ms": round(dt * 1e3, 2),
         "pairs_per_s": round(pairs_per_s, 2),
         "p10_pairs_per_s": round(B / float(np.percentile(deltas, 90)), 2),
@@ -131,27 +134,34 @@ def main():
             return False
 
     if args.quick:
-        run("bf16_b4", B=4, dtype="bfloat16", fused_loss=False, accum=1)
+        run("bf16_b4_default", B=4, dtype="bfloat16", fused_loss=True,
+            accum=1)
     else:
-        # batch sweep to the HBM ceiling (bf16, plain loss)
-        best_b = None
+        # batch sweep to the HBM ceiling with the SHIPPED DEFAULTS
+        # (fused focal loss ON, fine fused-heads ON) — these rows are what
+        # `train.py` actually runs on TPU
         for B in args.batches:
-            ok = run(f"bf16_b{B}", B=B, dtype="bfloat16",
-                     fused_loss=False, accum=1)
-            if ok:
-                best_b = B
-            else:
+            if not run(f"bf16_b{B}_default", B=B, dtype="bfloat16",
+                       fused_loss=True, accum=1):
                 break
-        bb = best_b or 4
-        # fused focal loss at the best batch
-        run(f"bf16_b{bb}_fused_focal", B=bb, dtype="bfloat16",
-            fused_loss=True, accum=1)
+        # best batch = highest measured throughput, NOT the largest batch
+        # that compiled (round-4 artifact bug: fused-vs-unfused was benched
+        # at the last successful B instead of the best one)
+        ok_rows = [r for r in results if "pairs_per_s" in r]
+        bb = (max(ok_rows, key=lambda r: r["pairs_per_s"])["batch"]
+              if ok_rows else 4)
+        # ablations at the best-throughput batch: each shipped default OFF
+        run(f"bf16_b{bb}_plain_loss", B=bb, dtype="bfloat16",
+            fused_loss=False, accum=1)
+        run(f"bf16_b{bb}_plain_fine_heads", B=bb, dtype="bfloat16",
+            fused_loss=True, accum=1, fused_heads=False)
         # gradient accumulation (MultiSteps) overhead at the best batch
         run(f"bf16_b{bb}_accum2", B=bb, dtype="bfloat16",
-            fused_loss=False, accum=2)
+            fused_loss=True, accum=2)
         run(f"bf16_b{bb}_accum4", B=bb, dtype="bfloat16",
-            fused_loss=False, accum=4)
-        # fp32 comparison (smaller batch; fp32 doubles the activation set)
+            fused_loss=True, accum=4)
+        # fp32 comparison (smaller batch; fp32 doubles the activation set;
+        # fused kernels are bf16-gated on TPU so fp32 uses the XLA paths)
         run("fp32_b4", B=4, dtype="float32", fused_loss=False, accum=1)
         if bb >= 8:
             run("fp32_b8", B=8, dtype="float32", fused_loss=False, accum=1)
