@@ -126,6 +126,11 @@ class FineConfig:
     # differentiable XLA path) — see ops/pallas/fine_stage.py.  Default ON:
     # shipped inference path, parity-tested in tests/test_fine_stage_fused.py.
     use_pallas: bool = True
+    # TRAINING-time fused fine stage: custom-VJP hybrid (Pallas forward +
+    # recomputed-XLA backward, ops/fine_stage_hybrid.py).  Grad-parity and
+    # convergence-A/B gated (tools/fine_hybrid_ab.py); default OFF until
+    # the A/B ships it.  Same bf16/lane gates as use_pallas.
+    use_pallas_train: bool = False
     # window extraction: 'direct' gathers only the K selected windows
     # (measured 2.8x faster at K=1024/B=32 on v5e: 0.41 vs 1.15 ms/pair
     # per side); 'unfold' materializes all L windows then row-gathers

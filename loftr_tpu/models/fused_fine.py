@@ -72,6 +72,9 @@ class FusedFineStage(nn.Module):
     mode: str = "stack"
     block_windows: int = 32
     win_pack: int = 1  # see ops/pallas/fine_stage.py::_attention
+    # training: custom-VJP hybrid (Pallas forward + recomputed-XLA
+    # backward, ops/fine_stage_hybrid.py) instead of the fwd-only kernel
+    trainable: bool = False
 
     @nn.compact
     def __call__(self, win0: jax.Array, win1: jax.Array) -> jax.Array:
@@ -80,8 +83,15 @@ class FusedFineStage(nn.Module):
         l0 = _EncoderLayerParams(self.d_model, name="layer_0")()
         l1 = _EncoderLayerParams(self.d_model, name="layer_1")()
         b, k, w2, c = win0.shape
-        expec = fused_fine_stage(
-            win0.reshape(b * k, w2, c), win1.reshape(b * k, w2, c),
-            l0, l1, nheads=self.nhead, mode=self.mode,
-            block_windows=self.block_windows, win_pack=self.win_pack)
+        if self.trainable:
+            from loftr_tpu.ops.fine_stage_hybrid import \
+                fused_fine_stage_hybrid
+            expec = fused_fine_stage_hybrid(
+                win0.reshape(b * k, w2, c), win1.reshape(b * k, w2, c),
+                l0, l1, self.nhead)
+        else:
+            expec = fused_fine_stage(
+                win0.reshape(b * k, w2, c), win1.reshape(b * k, w2, c),
+                l0, l1, nheads=self.nhead, mode=self.mode,
+                block_windows=self.block_windows, win_pack=self.win_pack)
         return expec.reshape(b, k, 3)

@@ -226,14 +226,15 @@ class LoFTR(nn.Module):
         # at C=16 on v5e).  Scaled-down models fall back to the XLA path
         # on TPU; CPU interpret mode is unaffected.
         fine_lane_ok = (d_f % 128 == 0 or jax.default_backend() != "tpu")
-        fuse_fine = (cfg.fine.use_pallas and not train
-                     and pallas_dtype_ok and fine_lane_ok
-                     and cfg.fine.attention == "linear"
-                     and tuple(cfg.fine.layer_names) == ("self", "cross"))
+        fine_topo_ok = (pallas_dtype_ok and fine_lane_ok
+                        and cfg.fine.attention == "linear"
+                        and tuple(cfg.fine.layer_names) == ("self", "cross"))
+        fuse_fine = fine_topo_ok and (
+            cfg.fine.use_pallas_train if train else cfg.fine.use_pallas)
         if fuse_fine:
             expec_f = FusedFineStage(
                 d_f, cfg.fine.nhead, cfg.fine.layer_names,
-                win_pack=cfg.fine.win_pack,
+                win_pack=cfg.fine.win_pack, trainable=train,
                 name="loftr_fine")(win0, win1)
         else:
             f0 = win0.reshape(B * K, W * W, d_f)
