@@ -196,6 +196,29 @@ def test_service_multi_device_mesh():
     assert snap["padded_rows"] == 2
 
 
+def test_inline_and_pipelined_stacking_agree():
+    """stack_workers=0 (inline batcher) and the default pipelined stacking
+    produce identical results; pipelined mode records phase timings."""
+    rng = np.random.RandomState(21)
+    pairs = [(rng.rand(64, 64).astype(np.float32),
+              rng.rand(64, 64).astype(np.float32)) for _ in range(5)]
+    results = {}
+    for workers in (0, 2):
+        svc, _, _ = _service(stack_workers=workers, wire_dtype="float32")
+        with svc:
+            futs = [svc.submit(a, b) for a, b in pairs]
+            results[workers] = [f.result(timeout=120) for f in futs]
+        snap = svc.stats.snapshot()
+        assert snap["requests"] == 5
+        if workers:
+            assert "stack" in snap["phase_ms_mean"]
+            assert "dispatch" in snap["phase_ms_mean"]
+            assert "fetch" in snap["phase_ms_mean"]
+    for r0, r2 in zip(results[0], results[2]):
+        np.testing.assert_allclose(r0["mkpts0"], r2["mkpts0"], atol=1e-5)
+        np.testing.assert_allclose(r0["mkpts1"], r2["mkpts1"], atol=1e-5)
+
+
 def test_to_gray_value_ranges():
     """_to_gray must preserve the value range for every (input dtype x wire)
     combination — regression for uint8 COLOR inputs, whose BGR matmul
