@@ -113,6 +113,7 @@ def _pad_rows(x, lp):
     return jnp.pad(x, ((0, 0), (0, lp - x.shape[1]), (0, 0)))
 
 
+@jax.named_scope("pallas_coarse_layer")
 def fused_coarse_layer(x: jax.Array, src: jax.Array, w: EncoderWeights,
                        x_mask: jax.Array | None = None,
                        src_mask: jax.Array | None = None,

@@ -128,6 +128,7 @@ def make_mask_vectors(L, S, Lp, Sp, mask0, mask1):
 
 @functools.partial(jax.jit,
                    static_argnames=("temperature", "tile_l", "interpret"))
+@jax.named_scope("pallas_dual_softmax")
 def _fused_dual_softmax_core(feat0: jax.Array, feat1: jax.Array,
                              temperature: float = 0.1,
                              mask0: Optional[jax.Array] = None,

@@ -259,6 +259,7 @@ def _fine_stage_kernel(*refs, G, W2, nheads, eps, mode, nw, win_pack=1):
     out_ref[:] = jnp.concatenate([res, pad], axis=1).astype(out_ref.dtype)
 
 
+@jax.named_scope("pallas_fine_stage")
 def fused_fine_stage(win0: jax.Array, win1: jax.Array,
                      layer0: EncoderWeights, layer1: EncoderWeights,
                      nheads: int, eps: float = 1e-6,

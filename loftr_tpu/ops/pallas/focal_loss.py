@@ -45,6 +45,18 @@ from loftr_tpu.ops.pallas.dual_softmax import (_auto_interpret, _pad_to,
 EPS = 1e-6  # conf clamp (loftr_loss.py:53)
 
 
+def _named_pallas_call(scope: str, *args, **kw):
+    """pallas_call whose device op carries `scope` in the profiler's
+    framework-op path (tools/trace_ledger.py attributes the per-kernel
+    split of the 'pallas-custom-call' category from it)."""
+
+    def call(*operands):
+        with jax.named_scope(scope):
+            return pl.pallas_call(*args, **kw)(*operands)
+
+    return call
+
+
 def _focal_terms(conf, is_pos, alpha, gamma):
     """Per-cell focal loss value and d/dconf, with the clamp's zero-gradient
     outside [EPS, 1-EPS] (torch.clamp backward semantics)."""
@@ -199,17 +211,18 @@ def _stats(f0, f1, m0v, m1v, tile_l, Lp, Sp, interpret):
     # _prep already folded the 1/(C*temperature) normalization into the
     # features (the backward tiles need the scaled copies anyway), so the
     # shared stats kernel runs with sim_scale=1.0.
-    return pl.pallas_call(
-        functools.partial(_stats_kernel, 1.0),
-        grid=(Lp // tile_l,),
-        in_specs=[row, full, m0s, m1s],
-        out_specs=(rowv, rowv, colv, colv),
-        out_shape=(jax.ShapeDtypeStruct((Lp, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((Lp, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((1, Sp), jnp.float32),
-                   jax.ShapeDtypeStruct((1, Sp), jnp.float32)),
-        interpret=interpret,
-    )(f0, f1, m0v, m1v)
+    with jax.named_scope("pallas_focal_stats"):
+        return pl.pallas_call(
+            functools.partial(_stats_kernel, 1.0),
+            grid=(Lp // tile_l,),
+            in_specs=[row, full, m0s, m1s],
+            out_specs=(rowv, rowv, colv, colv),
+            out_shape=(jax.ShapeDtypeStruct((Lp, 1), jnp.float32),
+                       jax.ShapeDtypeStruct((Lp, 1), jnp.float32),
+                       jax.ShapeDtypeStruct((1, Sp), jnp.float32),
+                       jax.ShapeDtypeStruct((1, Sp), jnp.float32)),
+            interpret=interpret,
+        )(f0, f1, m0v, m1v)
 
 
 @functools.partial(jax.custom_vjp,
@@ -265,15 +278,17 @@ def _fused_fwd(feat0, feat1, temperature, gt_j, gt_valid, mask0, mask1,
     row, full, m0s, m1s, rowv, colv = _specs(tile_l, Lp, Sp, C)
     scalar = pl.BlockSpec((1, 1), lambda i: (0, 0),
                           memory_space=pltpu.VMEM)
-    pos_sum, neg_sum = pl.pallas_call(
-        functools.partial(_loss_kernel, alpha, gamma),
-        grid=(Lp // tile_l,),
-        in_specs=[row, full, m0s, m1s, rowv, rowv, colv, colv, m0s, m0s],
-        out_specs=(scalar, scalar),
-        out_shape=(jax.ShapeDtypeStruct((1, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((1, 1), jnp.float32)),
-        interpret=interpret,
-    )(f0, f1, m0v, m1v, rowmax, rowsum, colmax, colsum, gtj, gtv)
+    with jax.named_scope("pallas_focal_loss_fwd"):
+        pos_sum, neg_sum = pl.pallas_call(
+            functools.partial(_loss_kernel, alpha, gamma),
+            grid=(Lp // tile_l,),
+            in_specs=[row, full, m0s, m1s, rowv, rowv, colv, colv, m0s,
+                      m0s],
+            out_specs=(scalar, scalar),
+            out_shape=(jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                       jax.ShapeDtypeStruct((1, 1), jnp.float32)),
+            interpret=interpret,
+        )(f0, f1, m0v, m1v, rowmax, rowsum, colmax, colsum, gtj, gtv)
 
     res = (f0, f1, m0v, m1v, rowmax, rowsum, colmax, colsum, gtj, gtv,
            scale, L, S, Lp, Sp, C, jnp.zeros((), feat0.dtype))
@@ -290,7 +305,8 @@ def _fused_bwd(temperature, alpha, gamma, tile_l, interpret, res, gbar):
     row, full, m0s, m1s, rowv, colv = _specs(tile_l, Lp, Sp, C)
     smem = pl.BlockSpec((1, 2), lambda i: (0, 0),
                         memory_space=pltpu.VMEM)
-    srow, scol = pl.pallas_call(
+    srow, scol = _named_pallas_call(
+        "pallas_focal_bwd_srow_scol",
         functools.partial(_srow_scol_kernel, alpha, gamma),
         grid=(Lp // tile_l,),
         in_specs=[row, full, m0s, m1s, rowv, rowv, colv, colv, m0s, m0s,
@@ -303,7 +319,8 @@ def _fused_bwd(temperature, alpha, gamma, tile_l, interpret, res, gbar):
 
     full_out = pl.BlockSpec((Sp, C), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
-    df0, df1 = pl.pallas_call(
+    df0, df1 = _named_pallas_call(
+        "pallas_focal_bwd_grads",
         functools.partial(_grad_kernel, alpha, gamma, scale),
         grid=(Lp // tile_l,),
         in_specs=[row, full, m0s, m1s, rowv, rowv, colv, colv, m0s, m0s,

@@ -158,6 +158,7 @@ def _pad_to(x, n, axis, value=0.0):
 @functools.partial(jax.jit,
                    static_argnames=("iters", "tile_l", "interpret",
                                     "prefilter"))
+@jax.named_scope("pallas_sinkhorn")
 def fused_sinkhorn_match(feat0: jax.Array, feat1: jax.Array,
                          bin_score: jax.Array, iters: int = 3,
                          mask0: Optional[jax.Array] = None,

@@ -44,6 +44,7 @@ def _upsample_kernel(x_ref, ah_ref, aw_ref, out_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
+@jax.named_scope("pallas_upsample2x")
 def upsample2x_pallas(x: jax.Array, interpret: bool = False) -> jax.Array:
     """x: [B, H, W, C] -> [B, 2H, 2W, C], align_corners=True bilinear."""
     b, h, w, c = x.shape

@@ -94,6 +94,7 @@ def _window_attn_kernel(q_ref, k_ref, v_ref, out_ref, *,
     out_ref[:] = jnp.concatenate(outs, axis=1).astype(out_ref.dtype)
 
 
+@jax.named_scope("pallas_window_attention")
 def window_linear_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                             nheads: int, eps: float = 1e-6,
                             block_windows: int = 16,

