@@ -73,7 +73,9 @@ def generate_data(work_dir: str, n_train_scenes: int, n_test_scenes: int,
 
 def train(work_dir: str, train_npzs, img_size: int, img_resize: int,
           steps: int, batch_size: int, lr: float, seed: int,
-          log_every: int = 25, train_sampling: str = "per_pair"):
+          log_every: int = 25, train_sampling: str = "per_pair",
+          extra_overrides: dict | None = None,
+          ckpt_name: str = "ckpt_params"):
     import jax
     from loftr_tpu.config import get_config
     from loftr_tpu.data import DataLoader
@@ -87,6 +89,8 @@ def train(work_dir: str, train_npzs, img_size: int, img_resize: int,
                     "scheduler_interval": "step", "warmup_step": 50,
                     "scheduler": "CosineAnnealing", "cosa_tmax": steps,
                     "seed": seed}})
+    if extra_overrides:
+        cfg = cfg.replaced(extra_overrides)
     datasets = [MegaDepthDataset(
         work_dir, p, mode="train", min_overlap_score=0.0,
         img_resize=img_resize, df=8, img_padding=True, depth_padding=True,
@@ -121,7 +125,7 @@ def train(work_dir: str, train_npzs, img_size: int, img_resize: int,
             if step >= steps:
                 break
     from loftr_tpu.train.checkpoint import save_params
-    ckpt = osp.join(work_dir, "ckpt_params")
+    ckpt = osp.join(work_dir, ckpt_name)
     save_params(ckpt, {"params": jax.device_get(state.params),
                        "batch_stats": jax.device_get(state.batch_stats)})
     return ckpt, losses
@@ -129,7 +133,8 @@ def train(work_dir: str, train_npzs, img_size: int, img_resize: int,
 
 def evaluate_cli(work_dir: str, test_idx: str, ckpt: str, img_resize: int,
                  pose_solver: str = "opencv", extra_env=None,
-                 ransac_thr: float = 1.5) -> dict:
+                 ransac_thr: float = 1.5,
+                 extra_cfg: dict | None = None) -> dict:
     """Drive the production eval CLI end to end (verdict Missing #4).
 
     ransac_thr: 1.5 px (swept 0.5/1.0/1.5/2.0/3.0 -> 1.5 maximizes AUC).
@@ -138,6 +143,14 @@ def evaluate_cli(work_dir: str, test_idx: str, ckpt: str, img_resize: int,
     sub-populations."""
     dump = osp.join(work_dir, "eval_dump.npz")
     cfg_json = dict(SMALL_MODEL)
+    if extra_cfg:
+        loftr = dict(cfg_json["loftr"])
+        for k, v in extra_cfg.get("loftr", {}).items():
+            if isinstance(v, dict) and isinstance(loftr.get(k), dict):
+                loftr[k] = {**loftr[k], **v}
+            else:
+                loftr[k] = v
+        cfg_json = {**extra_cfg, "loftr": loftr}
     cfg_json["trainer"] = {"ransac_pixel_thr": ransac_thr}
     cmd = [
         sys.executable, osp.join(REPO, "test.py"),
