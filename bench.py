@@ -24,6 +24,9 @@ def main():
     from loftr_tpu import LoFTR, MatchInput, get_config
 
     ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="indoor_ds",
+                    help="config preset (indoor_ds flagship; "
+                         "indoor_ds_turbo = ledger-trimmed speed preset)")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--batch", type=int, default=64)  # B=64/live=1 measured
@@ -74,7 +77,7 @@ def main():
     ap_over = {"loftr": {"dtype": args.dtype,
                          "match_coarse": {"use_pallas": args.pallas},
                          "fine": {"use_pallas": args.fine_pallas}}}
-    cfg = get_config("indoor_ds", ap_over)
+    cfg = get_config(args.preset, ap_over)
     model = LoFTR(cfg.loftr)
     rng = np.random.RandomState(0)
 
@@ -159,8 +162,9 @@ def main():
               "ms", file=sys.stderr)
 
     pairs_per_s = B * N_INNER / dt_med
+    tag = "loftr_ds" if args.preset == "indoor_ds" else args.preset
     result = {
-        "metric": f"loftr_ds_{W}x{H}_pairs_per_s",
+        "metric": f"{tag}_{W}x{H}_pairs_per_s",
         "value": round(pairs_per_s, 2),
         "unit": "pairs/s/chip",
         "vs_baseline": round(pairs_per_s / REFERENCE_PAIRS_PER_S, 2),

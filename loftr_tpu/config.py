@@ -353,6 +353,37 @@ def indoor_ot_buggy_pos_enc() -> Config:
     })
 
 
+def indoor_ds_turbo() -> Config:
+    """TPU-turbo preset: NOT checkpoint-compatible with released weights.
+
+    Ledger-driven architecture trim (docs/PERFORMANCE.md round-4 per-op
+    ledger) — no reference counterpart; this trades model capacity for
+    throughput under an accuracy guard (tools/turbo_ab.py trains default
+    vs turbo on the synthetic pose-AUC benchmark, perf/turbo_ab.json):
+
+    - ``block_dims (128, 196, 256) -> (128, 128, 256)``: the 196-channel
+      middle stage is zero-padded to 256 MXU lanes on TPU anyway, so its
+      convs execute at 256-width with ~41% wasted lanes (the round-4
+      pad-256 A/B).  The two largest ledger blocks — the 1/2-res fine
+      FusionBlock (1.08 + 0.47 ms/pair) and the layer2 stage
+      (0.93 ms/pair) — are all d[1]-wide; a true-128 middle stage keeps
+      every conv lane-aligned and quarters their FLOPs.
+    - ``max_matches 1024 -> 512``: halves the fine-stage Pallas kernel
+      (0.89 ms/pair) and window-gather (0.23 ms/pair) work, which scale
+      linearly in K.
+
+    Coarse d_model (=block_dims[2]=256) and fine d_model (=block_dims[0]
+    =128) are unchanged, so every transformer/matching stage keeps the
+    flagship geometry and all fused kernels engage identically.
+    """
+    return indoor_ds().replaced({
+        "loftr": {
+            "backbone": {"block_dims": (128, 128, 256)},
+            "match_coarse": {"max_matches": 512},
+        },
+    })
+
+
 PRESETS = {
     "default": default_config,
     "indoor_ds": indoor_ds,
@@ -362,6 +393,7 @@ PRESETS = {
     "scannet_eval": scannet_eval,
     "indoor_ds_buggy_pos_enc": indoor_ds_buggy_pos_enc,
     "indoor_ot_buggy_pos_enc": indoor_ot_buggy_pos_enc,
+    "indoor_ds_turbo": indoor_ds_turbo,
 }
 
 

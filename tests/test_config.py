@@ -83,3 +83,23 @@ def test_fused_kernels_are_default():
     assert cfg.loftr.match_coarse.use_pallas is True
     assert cfg.loftr.fine.use_pallas is True
     assert cfg.loftr.coarse.use_pallas is True
+
+
+def test_turbo_preset():
+    """indoor_ds_turbo: ledger-trimmed speed preset (round-5; NOT
+    checkpoint-compatible — accuracy-guarded by tools/turbo_ab.py)."""
+    cfg = get_config("indoor_ds_turbo")
+    # transformer geometry unchanged from the flagship
+    base = get_config("indoor_ds")
+    assert cfg.loftr.coarse.d_model == base.loftr.coarse.d_model == 256
+    assert cfg.loftr.fine.d_model == base.loftr.fine.d_model == 128
+    # the trims: lane-aligned middle stage + halved fine capacity
+    assert cfg.loftr.backbone.block_dims == (128, 128, 256)
+    assert cfg.loftr.match_coarse.max_matches == 512
+    # inherited from indoor_ds (dense spvs, dual-softmax)
+    assert cfg.loftr.match_coarse.sparse_spvs is False
+    assert cfg.loftr.match_coarse.match_type == "dual_softmax"
+    # every block_dim is a multiple of the 128 MXU lane width, so the
+    # 196->256 inference channel-pad must be a structural no-op
+    from loftr_tpu.utils.channel_pad import pad_config
+    assert pad_config(cfg).loftr.backbone.block_dims == (128, 128, 256)
