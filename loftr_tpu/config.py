@@ -127,9 +127,14 @@ class FineConfig:
     # shipped inference path, parity-tested in tests/test_fine_stage_fused.py.
     use_pallas: bool = True
     # TRAINING-time fused fine stage: custom-VJP hybrid (Pallas forward +
-    # recomputed-XLA backward, ops/fine_stage_hybrid.py).  Grad-parity and
-    # convergence-A/B gated (tools/fine_hybrid_ab.py); default OFF until
-    # the A/B ships it.  Same bf16/lane gates as use_pallas.
+    # recomputed-XLA backward, ops/fine_stage_hybrid.py).  A/B RESULT
+    # (tools/fine_hybrid_ab.py -> perf/fine_hybrid_ab.json): convergence is
+    # identical (held-out pose AUC within 0.011 at every threshold), but
+    # the flagship 640x480 B=8 step measures 21.8 vs 25.9 pairs/s — the
+    # rematerialized-XLA backward pays the fine forward twice, which costs
+    # more than the Pallas forward saves.  Default stays OFF (measured
+    # negative result); a full Pallas backward kernel would be required to
+    # win here.  Same bf16/lane gates as use_pallas.
     use_pallas_train: bool = False
     # window extraction: 'direct' gathers only the K selected windows
     # (measured 2.8x faster at K=1024/B=32 on v5e: 0.41 vs 1.15 ms/pair

@@ -51,15 +51,18 @@ def make_batch(B, W, H, seed=0):
 
 
 def bench_config(name, B, W, H, dtype, fused_loss, accum, n_inner, iters,
-                 fused_heads=True):
+                 fused_heads=True, hybrid_fine=None):
     import numpy as np
     import jax
     from loftr_tpu import get_config
     from loftr_tpu.train.trainer import Trainer
 
+    fine_over = {"fused_heads": fused_heads}
+    if hybrid_fine is not None:   # None = preset default
+        fine_over["use_pallas_train"] = hybrid_fine
     cfg = get_config("indoor_ds", {
         "loftr": {"dtype": dtype, "loss": {"use_pallas": fused_loss},
-                  "fine": {"fused_heads": fused_heads}},
+                  "fine": fine_over},
         "trainer": {"scheduler_interval": "step", "warmup_step": 100,
                     "accum_steps": accum}})
     trainer = Trainer(cfg, world_size=1, batch_size_per_device=B)
@@ -155,6 +158,13 @@ def main():
             fused_loss=False, accum=1)
         run(f"bf16_b{bb}_plain_fine_heads", B=bb, dtype="bfloat16",
             fused_loss=True, accum=1, fused_heads=False)
+        # training-time hybrid fused fine stage, flipped from the shipped
+        # default (ops/fine_stage_hybrid.py; A/B'd in tools/fine_hybrid_ab.py)
+        from loftr_tpu import get_config as _gc
+        hyb_default = _gc("indoor_ds").loftr.fine.use_pallas_train
+        run(f"bf16_b{bb}_hybrid_fine_{'off' if hyb_default else 'on'}",
+            B=bb, dtype="bfloat16", fused_loss=True, accum=1,
+            hybrid_fine=not hyb_default)
         # gradient accumulation (MultiSteps) overhead at the best batch
         run(f"bf16_b{bb}_accum2", B=bb, dtype="bfloat16",
             fused_loss=True, accum=2)
