@@ -137,6 +137,13 @@ class ServiceStats:
         default_factory=lambda: collections.defaultdict(
             lambda: collections.deque(maxlen=2048)))
 
+    def reset(self) -> None:
+        """Zero all counters/histograms (e.g. between bench levels)."""
+        self.requests = self.batches = self.padded_rows = 0
+        self.batch_hist.clear()
+        self.latencies_ms.clear()
+        self.phase_ms.clear()
+
     def snapshot(self) -> dict:
         lat = sorted(self.latencies_ms)
         pct = (lambda p: lat[min(len(lat) - 1, int(p * len(lat)))]
@@ -243,6 +250,15 @@ class MatchingService:
             b: [] for b in self.buckets}
         self._inflight: "collections.deque" = collections.deque()
         self._inflight_sem = threading.Semaphore(queue_depth)
+        self._queue_depth = queue_depth
+        # groups taken from _pending but not yet completed (prepared +
+        # dispatched + fetching).  Gates the age-based partial-rung flush:
+        # when the pipeline is already saturated (busy >= queue_depth) a
+        # partial batch would only sit in a host queue, so waiting for a
+        # full rung costs no latency and saves padded rows (measured:
+        # pipelined stacking without this gate dropped c=32 throughput
+        # 27.9 -> 16.4 pairs/s by racing ahead and flushing rungs of 3-6).
+        self._busy = 0
         self._inflight_cv = threading.Condition()
         self._closed = False
         self._stack_workers = max(0, int(stack_workers))
@@ -347,6 +363,7 @@ class MatchingService:
                     if len(reqs) >= self.max_batch:
                         group = reqs[: self.max_batch]
                         del reqs[: self.max_batch]
+                        self._busy += 1
                         return b, group
                     if reqs and (oldest_t is None
                                  or reqs[0].t_submit < oldest_t):
@@ -354,14 +371,30 @@ class MatchingService:
                 if oldest_b is not None:
                     wait = oldest_t + self.flush_s - time.time()
                     if wait <= 0 or self._closed:
-                        group = self._pending[oldest_b][:]
-                        self._pending[oldest_b].clear()
-                        return oldest_b, group
-                    self._lock.wait(wait)
+                        # age-based partial-rung flush — but only when the
+                        # pipeline can actually start it (busy <
+                        # queue_depth) or we are draining on close;
+                        # otherwise hold for a full rung / a completion
+                        # (completer notifies this cv on _group_done).
+                        if self._closed or self._busy < self._queue_depth:
+                            group = self._pending[oldest_b][:]
+                            self._pending[oldest_b].clear()
+                            self._busy += 1
+                            return oldest_b, group
+                        self._lock.wait()
+                    else:
+                        self._lock.wait(wait)
                 elif self._closed:
                     return None
                 else:
                     self._lock.wait()
+
+    def _group_done(self) -> None:
+        """A taken group finished (completed or failed) — unblock any
+        partial-rung flush waiting on pipeline capacity."""
+        with self._lock:
+            self._busy -= 1
+            self._lock.notify_all()
 
     def _place(self, x: np.ndarray):
         """Host array -> device array; rows sharded over 'data' if meshed."""
@@ -411,6 +444,7 @@ class MatchingService:
             self._inflight_sem.release()
             for r in group:
                 r.future.set_exception(e)
+            self._group_done()
             return
         with self._inflight_cv:
             self._inflight.append((out, group))
@@ -435,6 +469,7 @@ class MatchingService:
             except Exception as e:
                 for r in group:
                     r.future.set_exception(e)
+                self._group_done()
                 continue
             self._dispatch(inp, group, rung)
 
@@ -464,6 +499,7 @@ class MatchingService:
             except Exception as e:
                 for r in group:
                     r.future.set_exception(e)
+                self._group_done()
                 continue
             self._dispatch(inp, group, rung)
 
@@ -490,6 +526,7 @@ class MatchingService:
                 for r in group:
                     r.future.set_exception(e)
                 self._inflight_sem.release()
+                self._group_done()
                 continue
             self._inflight_sem.release()
             now = time.time()
@@ -505,3 +542,5 @@ class MatchingService:
                 for r in group:
                     self.stats.latencies_ms.append(
                         (now - r.t_submit) * 1000.0)
+                self._busy -= 1        # _group_done, lock already held
+                self._lock.notify_all()

@@ -219,6 +219,43 @@ def test_inline_and_pipelined_stacking_agree():
         np.testing.assert_allclose(r0["mkpts1"], r2["mkpts1"], atol=1e-5)
 
 
+def test_saturated_pipeline_holds_partial_rungs():
+    """When the dispatch pipeline is saturated (busy >= queue_depth), the
+    age-based flush must hold partial groups for full rungs instead of
+    padding them out — regression for the measured c=32 throughput drop
+    (27.9 -> 16.4 pairs/s) where pipelined stacking raced ahead of
+    arrivals and dispatched rungs of 3-6 real rows.  A slowed _apply
+    saturates the pipeline while requests trickle in."""
+    import time
+
+    svc, _, _ = _service(stack_workers=2, wire_dtype="float32",
+                         flush_ms=5.0, batch_sizes=(1, 2, 4))
+    orig_apply = svc._apply
+
+    def slow_apply(v, i):
+        time.sleep(0.15)
+        return orig_apply(v, i)
+
+    svc._apply = slow_apply
+    rng = np.random.RandomState(7)
+    pairs = [(rng.rand(64, 64).astype(np.float32),
+              rng.rand(64, 64).astype(np.float32)) for _ in range(16)]
+    with svc:
+        futs = []
+        for a, b in pairs:
+            futs.append(svc.submit(a, b))
+            time.sleep(0.003)  # trickle slower than the 5 ms flush window
+        for f in futs:
+            f.result(timeout=300)
+    snap = svc.stats.snapshot()
+    assert snap["requests"] == 16
+    # ungated, the 5 ms flush would cut ~10+ partial batches out of this
+    # trickle; the gate allows at most queue_depth(2) early partials plus
+    # full rungs (and a final drain partial on close)
+    assert snap["batches"] <= 9, snap
+    assert snap["batch_hist"].get(4, 0) >= 2, snap
+
+
 def test_to_gray_value_ranges():
     """_to_gray must preserve the value range for every (input dtype x wire)
     combination — regression for uint8 COLOR inputs, whose BGR matmul

@@ -71,6 +71,9 @@ def main():
     ap.add_argument("--levels", type=int, nargs="+", default=[1, 8, 32])
     ap.add_argument("--out", default="perf/serve_bench.json")
     ap.add_argument("--bucket", type=int, nargs=2, default=[480, 640])
+    ap.add_argument("--stack-workers", type=int, nargs="+", default=[0, 2],
+                    help="service stack_workers arms to A/B (0 = inline "
+                         "round-4 path, 2 = shipped pipelined default)")
     args = ap.parse_args()
 
     import jax
@@ -89,37 +92,57 @@ def main():
         scale1=np.ones((1, 2), np.float32))
     variables = model.init(jax.random.PRNGKey(0), ex)
 
-    # default rungs (max 8): measured BEST at concurrency 32 (36.9 pairs/s
-    # vs 32.9 with rungs up to 32 — bigger rungs add batch-fill latency and
-    # reduce queue_depth=2 pipeline overlap over the relay)
-    svc = MatchingService(variables, buckets=((bh, bw),))
     rng = np.random.RandomState(0)
     images = [(rng.randint(0, 255, (bh, bw), dtype=np.uint8),
                rng.randint(0, 255, (bh, bw), dtype=np.uint8))
               for _ in range(8)]
 
-    print("warmup (compiles every rung)...", flush=True)
-    t0 = time.perf_counter()
-    svc.warmup()
-    print(f"warmup done in {time.perf_counter() - t0:.1f}s", flush=True)
+    # A/B the double-buffered host stacking (stack_workers=2, the shipped
+    # default) against inline stacking (stack_workers=0, the round-4
+    # configuration) — the measurement behind the serve-vs-raw-loop gap
+    # attribution (round-4 verdict weak #5 / ask #8).  Per-level phase
+    # means (stack / dispatch / fetch) come from ServiceStats.phase_ms.
+    arms = {}
+    batch_rungs = flush_ms = None
+    for workers in args.stack_workers:
+        # default rungs (max 8): measured BEST at concurrency 32 (36.9
+        # pairs/s vs 32.9 with rungs up to 32 — bigger rungs add
+        # batch-fill latency and reduce queue_depth=2 pipeline overlap)
+        svc = MatchingService(variables, buckets=((bh, bw),),
+                              stack_workers=workers)
+        batch_rungs, flush_ms = list(svc.batch_sizes), svc.flush_s * 1e3
+        print(f"warmup stack_workers={workers} "
+              "(compiles every rung, cached after the first arm)...",
+              flush=True)
+        t0 = time.perf_counter()
+        svc.warmup()
+        print(f"warmup done in {time.perf_counter() - t0:.1f}s", flush=True)
 
-    levels = []
-    for c in args.levels:
-        r = run_level(svc, images, c, args.pairs)
-        print(json.dumps(r), flush=True)
-        levels.append(r)
-    svc.close()
+        levels = []
+        for c in args.levels:
+            svc.stats.reset()  # per-level phase means / batch histogram
+            r = run_level(svc, images, c, args.pairs)
+            snap = svc.stats.snapshot()
+            r["phase_ms_mean"] = snap["phase_ms_mean"]
+            r["batch_hist"] = snap["batch_hist"]
+            print(json.dumps(r), flush=True)
+            levels.append(r)
+        svc.close()
+        arms[f"stack_workers={workers}"] = levels
 
     out = {
         "bucket": [bh, bw],
         "dtype": "bfloat16",
-        "batch_rungs": list(svc.batch_sizes),
-        "flush_ms": svc.flush_s * 1e3,
+        "batch_rungs": batch_rungs,
+        "flush_ms": flush_ms,
         "device": str(jax.devices()[0]),
-        "levels": levels,
+        "arms": arms,
         "note": "request latency measured submit->Future-resolution, "
                 "including preprocess, micro-batch flush wait, device "
-                "dispatch over the axon relay, and postprocess",
+                "dispatch over the axon relay, and postprocess; "
+                "phase_ms_mean are per-level per-batch means of host "
+                "assembly+H2D (stack), jitted-call return (dispatch), and "
+                "device execution + device->host result pull (fetch)",
     }
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
