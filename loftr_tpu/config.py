@@ -101,7 +101,8 @@ class MatchCoarseConfig:
     train_sampling: str = "per_pair"  # ['per_pair', 'global_replacement']
     #                                   predicted-slot sampling semantics
     #                                   (ops/matching.py::select_train_matches;
-    #                                   A/B'd in tools/sampling_ab.py)
+    #                                   multi-seed A/B: tools/seed_sweep.py
+    #                                   -> perf/seed_sweep.json)
     use_pallas: bool = True           # fused Pallas matcher (inference only;
     #                                   skips materializing conf_matrix).
     #                                   Default ON: this is the shipped

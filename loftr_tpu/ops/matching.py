@@ -214,7 +214,11 @@ def select_train_matches(cand: CandidateMatches,
     duplicates occur.  'global_replacement' emulates that within the
     static [B, k_train] layout: per-pair quotas proportional to the pair's
     share of the batch candidate pool, picks drawn with replacement.
-    A/B'd on the synthetic benchmark (tools/sampling_ab.py, NOTES.md).
+    A/B'd with statistics on the synthetic benchmark
+    (perf/seed_sweep.json, 3 seeds x 2000 chip steps): 'per_pair' is
+    never worse on mean pose AUC and its auc@20 paired delta over
+    'global_replacement' is positive in every seed (+0.05 +/- 0.04);
+    precision differs < 0.01 the other way.  The default stands.
     """
     B, L = cand.valid.shape
     k_pred_max = k_train - pad_num_gt_min

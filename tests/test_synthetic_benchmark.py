@@ -8,7 +8,10 @@ DataLoader -> Trainer -> orbax checkpoint -> `test.py` subprocess
 gates that training moves the benchmark metric, with the strongest
 committed evidence in perf/synthetic_auc.json (63 held-out
 pairs, 2000 steps trained on the chip at 256px: untrained auc@{5,10,20}
-= 0.0 -> trained 0.26/0.49/0.69, prec@1e-4 0.96).
+= 0.0 -> trained 0.26/0.49/0.69, prec@1e-4 0.96).  Run-to-run noise on
+that flagship config is pinned by perf/seed_sweep.json (3 seeds:
+auc@10 0.459+/-0.026, auc@20 0.676+/-0.010, prec 0.972+/-0.011 — the
+committed artifact sits at the top of its band).
 
 This test runs a shortened version (fewer steps/scenes) with
 correspondingly conservative gates; ~6 min on an 8-core CPU box.

@@ -190,7 +190,7 @@ def main():
     ap.add_argument("--train-sampling", default="per_pair",
                     choices=["per_pair", "global_replacement"],
                     help="predicted-slot sampling semantics "
-                         "(ops/matching.py; tools/sampling_ab.py A/B)")
+                         "(ops/matching.py; tools/seed_sweep.py A/B)")
     ap.add_argument("--baseline", type=float, default=0.6,
                     help="mean per-step camera baseline in world units "
                          "(~depth 3.0); pose-from-E needs the epipolar "
