@@ -51,7 +51,7 @@ def make_batch(B, W, H, seed=0):
 
 
 def bench_config(name, B, W, H, dtype, fused_loss, accum, n_inner, iters,
-                 fused_heads=True, hybrid_fine=None):
+                 fused_heads=True, hybrid_fine=None, preset="indoor_ds"):
     import numpy as np
     import jax
     from loftr_tpu import get_config
@@ -60,7 +60,7 @@ def bench_config(name, B, W, H, dtype, fused_loss, accum, n_inner, iters,
     fine_over = {"fused_heads": fused_heads}
     if hybrid_fine is not None:   # None = preset default
         fine_over["use_pallas_train"] = hybrid_fine
-    cfg = get_config("indoor_ds", {
+    cfg = get_config(preset, {
         "loftr": {"dtype": dtype, "loss": {"use_pallas": fused_loss},
                   "fine": fine_over},
         "trainer": {"scheduler_interval": "step", "warmup_step": 100,
@@ -89,10 +89,15 @@ def bench_config(name, B, W, H, dtype, fused_loss, accum, n_inner, iters,
     deltas = np.diff([t0] + t_done) / n_inner
     dt = float(np.median(deltas))
     pairs_per_s = B / dt
-    mfu = (pairs_per_s * FWD_GFLOP_PER_PAIR * TRAIN_FLOP_FACTOR / 1e3
+    # per-config analytic forward FLOPs (the turbo preset is lighter than
+    # the flagship's 759 GFLOP/pair; MFU must use the config's own count)
+    from tools.flops_analysis import analytic_flops
+    gflop = analytic_flops(H, W, cfg.loftr)[1] / 1e9
+    mfu = (pairs_per_s * gflop * TRAIN_FLOP_FACTOR / 1e3
            / V5E_PEAK_TFLOPS)
     rec = {
-        "config": name,
+        "config": name, "preset": preset,
+        "fwd_gflop_per_pair": round(gflop, 1),
         "batch": B, "dtype": dtype, "fused_focal_loss": fused_loss,
         "accum_steps": accum, "n_inner": n_inner,
         "fine_fused_heads": fused_heads,
@@ -112,6 +117,11 @@ def main():
     p.add_argument("--res", default="640x480")
     p.add_argument("--n-inner", type=int, default=2)
     p.add_argument("--quick", action="store_true")
+    p.add_argument("--preset", default="indoor_ds",
+                   help="config preset (indoor_ds_turbo = speed preset)")
+    p.add_argument("--sweep-only", action="store_true",
+                   help="batch sweep with shipped defaults only, no "
+                        "ablation arms (e.g. for non-flagship presets)")
     p.add_argument("--batches", type=int, nargs="+", default=[4, 8, 16, 24],
                    help="bf16 batch sweep (stops at the first OOM)")
     p.add_argument("--out", default=os.path.join(
@@ -128,7 +138,7 @@ def main():
         try:
             results.append(bench_config(
                 name, W=W, H=H, n_inner=args.n_inner, iters=args.iters,
-                **kw))
+                preset=args.preset, **kw))
             return True
         except Exception as e:
             msg = str(e).splitlines()[0][:160]
@@ -147,6 +157,9 @@ def main():
             if not run(f"bf16_b{B}_default", B=B, dtype="bfloat16",
                        fused_loss=True, accum=1):
                 break
+        if args.sweep_only:
+            _write_out(args, results)
+            return
         # best batch = highest measured throughput, NOT the largest batch
         # that compiled (round-4 artifact bug: fused-vs-unfused was benched
         # at the last successful B instead of the best one)
@@ -176,14 +189,20 @@ def main():
         if bb >= 8:
             run("fp32_b8", B=8, dtype="float32", fused_loss=False, accum=1)
 
+    _write_out(args, results)
+
+
+def _write_out(args, results):
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump({
             "results": results,
             "roofline": {
-                "fwd_gflop_per_pair": FWD_GFLOP_PER_PAIR,
+                "flagship_fwd_gflop_per_pair": FWD_GFLOP_PER_PAIR,
                 "train_flop_factor": TRAIN_FLOP_FACTOR,
-                "v5e_peak_tflops": V5E_PEAK_TFLOPS},
+                "v5e_peak_tflops": V5E_PEAK_TFLOPS,
+                "note": "per-row fwd_gflop_per_pair is the row's own "
+                        "analytic count (presets differ)"},
             "note": "n-inner chained steps unrolled per dispatch (relay "
                     "latency amortized); one TPU v5e chip via axon relay",
         }, f, indent=1)
