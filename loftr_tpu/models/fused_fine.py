@@ -88,7 +88,8 @@ class FusedFineStage(nn.Module):
                 fused_fine_stage_hybrid
             expec = fused_fine_stage_hybrid(
                 win0.reshape(b * k, w2, c), win1.reshape(b * k, w2, c),
-                l0, l1, self.nhead)
+                l0, l1, self.nhead, self.mode, self.block_windows,
+                self.win_pack)
         else:
             expec = fused_fine_stage(
                 win0.reshape(b * k, w2, c), win1.reshape(b * k, w2, c),

@@ -80,20 +80,27 @@ def xla_fine_stage(win0: jax.Array, win1: jax.Array, l0: EncoderWeights,
     return fine_match(f0b[None], f1b[None])[0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def fused_fine_stage_hybrid(win0, win1, l0: EncoderWeights,
-                            l1: EncoderWeights, nheads: int):
+                            l1: EncoderWeights, nheads: int,
+                            mode: str = "stack", block_windows: int = 32,
+                            win_pack: int = 1):
     """Pallas-forward / XLA-recompute-backward fine stage.  [NB,W2,C]x2 ->
-    expec_f [NB, 3].  (Non-TPU backends auto-run the kernel interpreted.)"""
-    return fused_fine_stage(win0, win1, l0, l1, nheads=nheads)
+    expec_f [NB, 3].  mode/block_windows/win_pack only tune the forward
+    kernel's scheduling (ops/pallas/fine_stage.py), not the math, so the
+    XLA backward is unaffected.  (Non-TPU backends auto-run the kernel
+    interpreted.)"""
+    return fused_fine_stage(win0, win1, l0, l1, nheads=nheads, mode=mode,
+                            block_windows=block_windows, win_pack=win_pack)
 
 
-def _hybrid_fwd(win0, win1, l0, l1, nheads):
-    out = fused_fine_stage(win0, win1, l0, l1, nheads=nheads)
+def _hybrid_fwd(win0, win1, l0, l1, nheads, mode, block_windows, win_pack):
+    out = fused_fine_stage(win0, win1, l0, l1, nheads=nheads, mode=mode,
+                           block_windows=block_windows, win_pack=win_pack)
     return out, (win0, win1, l0, l1)
 
 
-def _hybrid_bwd(nheads, res, g):
+def _hybrid_bwd(nheads, mode, block_windows, win_pack, res, g):
     win0, win1, l0, l1 = res
     _, vjp = jax.vjp(
         lambda a, b, p0, p1: xla_fine_stage(a, b, p0, p1, nheads),

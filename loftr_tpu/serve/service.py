@@ -122,6 +122,23 @@ class _Request:
     t_submit: float
 
 
+def _safe_resolve(fut: Future, result=None, exc=None) -> None:
+    """Resolve a client future, tolerating client-side cancel().
+
+    Submitted futures are never marked running, so a client's cancel()
+    succeeds on a PENDING future; set_result/set_exception then raise
+    InvalidStateError.  An unguarded raise here would kill the worker
+    thread that resolves batches (completer/dispatcher) and wedge the
+    whole service — swallow it and drop the result instead."""
+    try:
+        if exc is not None:
+            fut.set_exception(exc)
+        else:
+            fut.set_result(result)
+    except Exception:
+        pass  # future already cancelled/resolved by the client
+
+
 @dataclass
 class ServiceStats:
     requests: int = 0
@@ -136,29 +153,41 @@ class ServiceStats:
     phase_ms: Dict[str, collections.deque] = field(
         default_factory=lambda: collections.defaultdict(
             lambda: collections.deque(maxlen=2048)))
+    # guards phase_ms/latencies against concurrent mutation from the
+    # stack-pool workers, dispatcher, and completer threads (defaultdict
+    # first-touch and deque iteration are not atomic across threads)
+    lock: threading.Lock = field(default_factory=threading.Lock)
+
+    def record_phase(self, phase: str, ms: float) -> None:
+        with self.lock:
+            self.phase_ms[phase].append(ms)
 
     def reset(self) -> None:
         """Zero all counters/histograms (e.g. between bench levels)."""
-        self.requests = self.batches = self.padded_rows = 0
-        self.batch_hist.clear()
-        self.latencies_ms.clear()
-        self.phase_ms.clear()
+        with self.lock:
+            self.requests = self.batches = self.padded_rows = 0
+            self.batch_hist.clear()
+            self.latencies_ms.clear()
+            self.phase_ms.clear()
 
     def snapshot(self) -> dict:
-        lat = sorted(self.latencies_ms)
+        with self.lock:
+            lat = sorted(self.latencies_ms)
+            phase = {k: list(v) for k, v in self.phase_ms.items()}
+            out = {
+                "requests": self.requests,
+                "batches": self.batches,
+                "padded_rows": self.padded_rows,
+                "batch_hist": dict(self.batch_hist),
+            }
         pct = (lambda p: lat[min(len(lat) - 1, int(p * len(lat)))]
                if lat else None)
-        return {
-            "requests": self.requests,
-            "batches": self.batches,
-            "padded_rows": self.padded_rows,
-            "batch_hist": dict(self.batch_hist),
-            "latency_ms_p50": pct(0.50),
-            "latency_ms_p99": pct(0.99),
-            "phase_ms_mean": {
-                k: round(float(np.mean(v)), 2)
-                for k, v in self.phase_ms.items() if len(v)},
-        }
+        out["latency_ms_p50"] = pct(0.50)
+        out["latency_ms_p99"] = pct(0.99)
+        out["phase_ms_mean"] = {
+            k: round(float(np.mean(v)), 2)
+            for k, v in phase.items() if len(v)}
+        return out
 
 
 class MatchingService:
@@ -176,7 +205,7 @@ class MatchingService:
                  batch_sizes: Sequence[int] = (1, 2, 4, 8),
                  flush_ms: float = 5.0, queue_depth: int = 2,
                  mesh=None, wire_dtype: str = "uint8",
-                 stack_workers: int = 2):
+                 stack_workers: int = 2, max_hold_ms: float = 100.0):
         """wire_dtype: 'uint8' ships images to the device as bytes and
         normalizes /255 inside the jitted program (4x less host->device
         traffic per batch); 'float32' is the exact legacy path.
@@ -184,7 +213,12 @@ class MatchingService:
         stack_workers: >0 pipelines host batch assembly + H2D placement in
         a small pool so stacking batch N+1 overlaps device execution AND
         placement of batch N (double-buffered stacking, verdict round-4
-        weak #5); 0 restores the inline single-thread batcher."""
+        weak #5); 0 restores the inline single-thread batcher.
+
+        max_hold_ms: upper bound on how long a PARTIAL rung may be held
+        past its flush_ms window while the dispatch pipeline is saturated
+        (the saturation gate trades flush latency for full rungs under
+        load); bounds cross-bucket starvation."""
         import jax
         import jax.numpy as jnp
         from loftr_tpu.config import get_config
@@ -243,6 +277,7 @@ class MatchingService:
             {-(-int(b) // ns) * ns for b in batch_sizes}))
         self.max_batch = self.batch_sizes[-1]
         self.flush_s = flush_ms / 1000.0
+        self.max_hold_s = max(max_hold_ms, flush_ms) / 1000.0
         self.stats = ServiceStats()
 
         self._lock = threading.Condition()
@@ -356,32 +391,44 @@ class MatchingService:
     def _take_group(self) -> Optional[Tuple[Bucket, List[_Request]]]:
         """Block until a dispatchable group exists (full rung, or the oldest
         request aged past flush_ms); None when closing and drained."""
+        def take(b, reqs):
+            group = reqs[: self.max_batch]
+            del reqs[: self.max_batch]
+            self._busy += 1
+            return b, group
+
         with self._lock:
             while True:
+                now = time.time()
                 oldest_b, oldest_t = None, None
                 for b, reqs in self._pending.items():
-                    if len(reqs) >= self.max_batch:
-                        group = reqs[: self.max_batch]
-                        del reqs[: self.max_batch]
-                        self._busy += 1
-                        return b, group
                     if reqs and (oldest_t is None
                                  or reqs[0].t_submit < oldest_t):
                         oldest_b, oldest_t = b, reqs[0].t_submit
+                # 1) an OVER-HELD request (aged past max_hold_s) beats
+                #    full rungs in other buckets: under continuous
+                #    full-rung pressure (e.g. a saturated 480x640 bucket)
+                #    a lone 840x840 request would otherwise starve for
+                #    the whole burst, not just max_hold_s.
+                if (oldest_b is not None
+                        and now - oldest_t >= self.max_hold_s):
+                    return take(oldest_b, self._pending[oldest_b])
+                # 2) any full rung dispatches immediately
+                for b, reqs in self._pending.items():
+                    if len(reqs) >= self.max_batch:
+                        return take(b, reqs)
                 if oldest_b is not None:
-                    wait = oldest_t + self.flush_s - time.time()
+                    wait = oldest_t + self.flush_s - now
                     if wait <= 0 or self._closed:
-                        # age-based partial-rung flush — but only when the
-                        # pipeline can actually start it (busy <
+                        # 3) age-based partial-rung flush — but only when
+                        # the pipeline can actually start it (busy <
                         # queue_depth) or we are draining on close;
                         # otherwise hold for a full rung / a completion
-                        # (completer notifies this cv on _group_done).
+                        # (completer notifies this cv on _group_done) /
+                        # the max_hold_s bound in (1).
                         if self._closed or self._busy < self._queue_depth:
-                            group = self._pending[oldest_b][:]
-                            self._pending[oldest_b].clear()
-                            self._busy += 1
-                            return oldest_b, group
-                        self._lock.wait()
+                            return take(oldest_b, self._pending[oldest_b])
+                        self._lock.wait(oldest_t + self.max_hold_s - now)
                     else:
                         self._lock.wait(wait)
                 elif self._closed:
@@ -428,8 +475,7 @@ class MatchingService:
             mask1=self._place(stack("mask1", (bh // 8, bw // 8), bool)),
             scale0=self._place(stack("scale0", (2,), np.float32)),
             scale1=self._place(stack("scale1", (2,), np.float32)))
-        self.stats.phase_ms["stack"].append(
-            (time.perf_counter() - t0) * 1e3)
+        self.stats.record_phase("stack", (time.perf_counter() - t0) * 1e3)
         return inp
 
     def _dispatch(self, inp, group: List[_Request], rung: int) -> None:
@@ -438,18 +484,18 @@ class MatchingService:
         try:
             t0 = time.perf_counter()
             out = self._apply(self._variables, inp)  # async dispatch
-            self.stats.phase_ms["dispatch"].append(
-                (time.perf_counter() - t0) * 1e3)
+            self.stats.record_phase("dispatch",
+                                    (time.perf_counter() - t0) * 1e3)
         except Exception as e:  # compile/dispatch failure -> fail batch
             self._inflight_sem.release()
             for r in group:
-                r.future.set_exception(e)
+                _safe_resolve(r.future, exc=e)
             self._group_done()
             return
         with self._inflight_cv:
             self._inflight.append((out, group))
             self._inflight_cv.notify_all()
-        with self._lock:
+        with self._lock, self.stats.lock:
             self.stats.batches += 1
             self.stats.padded_rows += rung - len(group)
             self.stats.batch_hist[len(group)] = \
@@ -468,7 +514,7 @@ class MatchingService:
                 inp = fut.result()
             except Exception as e:
                 for r in group:
-                    r.future.set_exception(e)
+                    _safe_resolve(r.future, exc=e)
                 self._group_done()
                 continue
             self._dispatch(inp, group, rung)
@@ -498,7 +544,7 @@ class MatchingService:
                 inp = self._prepare(b, group, rung)
             except Exception as e:
                 for r in group:
-                    r.future.set_exception(e)
+                    _safe_resolve(r.future, exc=e)
                 self._group_done()
                 continue
             self._dispatch(inp, group, rung)
@@ -520,27 +566,30 @@ class MatchingService:
                 conf = np.asarray(out.coarse.mconf, np.float32)
                 k0 = np.asarray(out.mkpts0_f, np.float32)
                 k1 = np.asarray(out.mkpts1_f, np.float32)
-                self.stats.phase_ms["fetch"].append(
-                    (time.perf_counter() - t0) * 1e3)
+                self.stats.record_phase(
+                    "fetch", (time.perf_counter() - t0) * 1e3)
             except Exception as e:
                 for r in group:
-                    r.future.set_exception(e)
+                    _safe_resolve(r.future, exc=e)
                 self._inflight_sem.release()
                 self._group_done()
                 continue
             self._inflight_sem.release()
             now = time.time()
-            for i, r in enumerate(group):
-                keep = valid[i] & (conf[i] >= r.min_conf)
-                r.future.set_result({
-                    "mkpts0": k0[i][keep],
-                    "mkpts1": k1[i][keep],
-                    "mconf": conf[i][keep],
-                })
-            with self._lock:
+            # record stats BEFORE resolving the futures: a caller woken by
+            # fut.result() (e.g. the bench's per-level snapshot/reset) must
+            # observe this batch's latencies/busy bookkeeping
+            with self._lock, self.stats.lock:
                 self.stats.requests += len(group)
                 for r in group:
                     self.stats.latencies_ms.append(
                         (now - r.t_submit) * 1000.0)
                 self._busy -= 1        # _group_done, lock already held
                 self._lock.notify_all()
+            for i, r in enumerate(group):
+                keep = valid[i] & (conf[i] >= r.min_conf)
+                _safe_resolve(r.future, {
+                    "mkpts0": k0[i][keep],
+                    "mkpts1": k1[i][keep],
+                    "mconf": conf[i][keep],
+                })

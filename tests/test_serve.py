@@ -256,6 +256,87 @@ def test_saturated_pipeline_holds_partial_rungs():
     assert snap["batch_hist"].get(4, 0) >= 2, snap
 
 
+def test_cancelled_future_does_not_kill_completer():
+    """A client cancel() on a pending future must not kill the worker
+    thread that resolves its batch (set_result on a cancelled Future
+    raises InvalidStateError) nor leak the busy counter that gates
+    partial-rung flushes — later requests must still complete."""
+    import time
+
+    svc, _, _ = _service(stack_workers=2, wire_dtype="float32",
+                         flush_ms=5.0)
+    orig_apply = svc._apply
+
+    def slow_apply(v, i):
+        time.sleep(0.2)
+        return orig_apply(v, i)
+
+    svc._apply = slow_apply
+    rng = np.random.RandomState(11)
+    img = rng.rand(64, 64).astype(np.float32)
+    with svc:
+        doomed = svc.submit(img, img)
+        assert doomed.cancel()  # pending: never marked running
+        # the batch containing the cancelled future resolves fine...
+        ok = [svc.submit(img, img) for _ in range(3)]
+        for f in ok:
+            r = f.result(timeout=120)
+            assert r["mkpts0"].ndim == 2
+        # ...and the busy counter drained (no leaked increments), so a
+        # fresh partial rung still flushes promptly
+        with svc._lock:
+            assert svc._busy == 0, svc._busy
+
+
+def test_starved_bucket_flushes_within_max_hold():
+    """The saturation gate must NOT starve a partial rung in a bucket
+    that cannot fill: while one bucket's full rungs keep the pipeline
+    busy, a lone request in the other bucket flushes after max_hold_ms
+    and completes long before the flood drains."""
+    import time
+
+    import threading
+
+    svc, _, _ = _service(stack_workers=2, wire_dtype="float32",
+                         flush_ms=5.0, batch_sizes=(1, 2, 4),
+                         max_hold_ms=50.0)
+    svc.warmup()              # pre-compile: measure scheduling, not XLA
+    orig_apply = svc._apply
+
+    def slow_apply(v, i):
+        time.sleep(0.25)
+        return orig_apply(v, i)
+
+    svc._apply = slow_apply
+    rng = np.random.RandomState(13)
+    a = rng.rand(64, 64).astype(np.float32)    # 64x64 bucket
+    b = rng.rand(96, 96).astype(np.float32)    # 96x96 bucket
+    flood = []
+
+    def feeder():
+        # one full 4-rung every 300 ms for ~3 s: full rungs keep arriving
+        # AFTER the lone request, so without the over-held priority the
+        # newer rungs would outrank the partial until the stream ends
+        for _ in range(10):
+            flood.extend(svc.submit(a, a) for _ in range(4))
+            time.sleep(0.3)
+
+    with svc:
+        th = threading.Thread(target=feeder)
+        th.start()
+        time.sleep(0.15)      # a couple of rungs in flight -> saturated
+        t0 = time.perf_counter()
+        lone = svc.submit(b, b)
+        lone.result(timeout=120)
+        lone_latency = time.perf_counter() - t0
+        th.join()
+        for f in flood:
+            f.result(timeout=120)
+    # the stream lasts ~3 s; the lone request must dispatch at ~max_hold
+    # (50 ms) + a few in-flight batches, not after the stream drains
+    assert lone_latency < 2.0, lone_latency
+
+
 def test_to_gray_value_ranges():
     """_to_gray must preserve the value range for every (input dtype x wire)
     combination — regression for uint8 COLOR inputs, whose BGR matmul

@@ -56,12 +56,16 @@ REFERENCE = "/root/reference"
 def install_reference_shims():
     import torch
 
-    if "loguru" in sys.modules:
+    # idempotence sentinel: check for OUR kornia stub specifically — keying
+    # off "loguru in sys.modules" would silently skip the yacs/kornia shims
+    # in an environment where real loguru happens to be installed
+    if getattr(sys.modules.get("kornia"), "_loftr_tpu_shim", False):
         return
 
-    loguru = types.ModuleType("loguru")
-    loguru.logger = logging.getLogger("reference")
-    sys.modules["loguru"] = loguru
+    if "loguru" not in sys.modules:
+        loguru = types.ModuleType("loguru")
+        loguru.logger = logging.getLogger("reference")
+        sys.modules["loguru"] = loguru
 
     class CfgNode(dict):
         """Minimal yacs.config.CfgNode: attribute-style nested dict."""
@@ -113,6 +117,7 @@ def install_reference_shims():
         return torch.einsum("bnk,ukc->bnc", probs, g)
 
     kornia = types.ModuleType("kornia")
+    kornia._loftr_tpu_shim = True    # install_reference_shims sentinel
     k_utils = types.ModuleType("kornia.utils")
     k_grid = types.ModuleType("kornia.utils.grid")
     k_geometry = types.ModuleType("kornia.geometry")
