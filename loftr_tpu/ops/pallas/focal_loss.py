@@ -211,18 +211,18 @@ def _stats(f0, f1, m0v, m1v, tile_l, Lp, Sp, interpret):
     # _prep already folded the 1/(C*temperature) normalization into the
     # features (the backward tiles need the scaled copies anyway), so the
     # shared stats kernel runs with sim_scale=1.0.
-    with jax.named_scope("pallas_focal_stats"):
-        return pl.pallas_call(
-            functools.partial(_stats_kernel, 1.0),
-            grid=(Lp // tile_l,),
-            in_specs=[row, full, m0s, m1s],
-            out_specs=(rowv, rowv, colv, colv),
-            out_shape=(jax.ShapeDtypeStruct((Lp, 1), jnp.float32),
-                       jax.ShapeDtypeStruct((Lp, 1), jnp.float32),
-                       jax.ShapeDtypeStruct((1, Sp), jnp.float32),
-                       jax.ShapeDtypeStruct((1, Sp), jnp.float32)),
-            interpret=interpret,
-        )(f0, f1, m0v, m1v)
+    return _named_pallas_call(
+        "pallas_focal_stats",
+        functools.partial(_stats_kernel, 1.0),
+        grid=(Lp // tile_l,),
+        in_specs=[row, full, m0s, m1s],
+        out_specs=(rowv, rowv, colv, colv),
+        out_shape=(jax.ShapeDtypeStruct((Lp, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((Lp, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((1, Sp), jnp.float32),
+                   jax.ShapeDtypeStruct((1, Sp), jnp.float32)),
+        interpret=interpret,
+    )(f0, f1, m0v, m1v)
 
 
 @functools.partial(jax.custom_vjp,
@@ -278,17 +278,17 @@ def _fused_fwd(feat0, feat1, temperature, gt_j, gt_valid, mask0, mask1,
     row, full, m0s, m1s, rowv, colv = _specs(tile_l, Lp, Sp, C)
     scalar = pl.BlockSpec((1, 1), lambda i: (0, 0),
                           memory_space=pltpu.VMEM)
-    with jax.named_scope("pallas_focal_loss_fwd"):
-        pos_sum, neg_sum = pl.pallas_call(
-            functools.partial(_loss_kernel, alpha, gamma),
-            grid=(Lp // tile_l,),
-            in_specs=[row, full, m0s, m1s, rowv, rowv, colv, colv, m0s,
-                      m0s],
-            out_specs=(scalar, scalar),
-            out_shape=(jax.ShapeDtypeStruct((1, 1), jnp.float32),
-                       jax.ShapeDtypeStruct((1, 1), jnp.float32)),
-            interpret=interpret,
-        )(f0, f1, m0v, m1v, rowmax, rowsum, colmax, colsum, gtj, gtv)
+    pos_sum, neg_sum = _named_pallas_call(
+        "pallas_focal_loss_fwd",
+        functools.partial(_loss_kernel, alpha, gamma),
+        grid=(Lp // tile_l,),
+        in_specs=[row, full, m0s, m1s, rowv, rowv, colv, colv, m0s,
+                  m0s],
+        out_specs=(scalar, scalar),
+        out_shape=(jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)),
+        interpret=interpret,
+    )(f0, f1, m0v, m1v, rowmax, rowsum, colmax, colsum, gtj, gtv)
 
     res = (f0, f1, m0v, m1v, rowmax, rowsum, colmax, colsum, gtj, gtv,
            scale, L, S, Lp, Sp, C, jnp.zeros((), feat0.dtype))
